@@ -1,0 +1,244 @@
+"""Static-shape autoregressive decode engine with KV cache.
+
+Replaces the reference's HF ``generate`` / monkey-patched Python generator
+(layers/gpt_inference.py, layers/stream_generator.py) with a TPU-native design:
+
+* a preallocated KV cache pytree (layer-stacked, static length),
+* one jitted ``prefill`` that embeds the [cond | text | start_audio] prefix,
+  fills the cache, and samples the first audio code,
+* one jitted ``decode_chunk`` that runs N decode steps under ``lax.scan``,
+  emitting N (token, latent) pairs per device call — the streaming consumer
+  reads completed chunks instead of a per-token Python yield, so there is no
+  host↔device sync inside the hot loop.
+
+Semantics mirrored from the reference decode path:
+* mel positional index of the t-th AR input = t (gpt_inference.py:92-96),
+* latent yielded with token t is ``final_norm`` of the post-ln_f hidden at the
+  position that *generated* t (stream_generator.py:865),
+* finished rows emit ``stop_audio_token`` (pad token) forever,
+* sampling chain: repetition penalty over all previously seen ids (including
+  the fake prefix ids = 1 and start_audio), then temperature → top-k → top-p,
+  then multinomial (stream_generator.py:837-858).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genvc_tpu.models import gpt as gpt_model
+from genvc_tpu.ops import nn, sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    temperature: float = 0.85
+    top_k: int = 15
+    top_p: float = 0.85
+    repetition_penalty: float = 2.0
+    do_sample: bool = True
+
+
+class DecodeState(NamedTuple):
+    cache_k: jnp.ndarray      # (L, B, H, T, hd)
+    cache_v: jnp.ndarray      # (L, B, H, T, hd)
+    key_valid: jnp.ndarray    # (B, T) bool — filled & unmasked cache slots
+    cur_index: jnp.ndarray    # () int32 — next cache slot to write
+    n_generated: jnp.ndarray  # () int32 — number of audio tokens sampled
+    last_token: jnp.ndarray   # (B,) int32
+    seen: jnp.ndarray         # (B, V) bool — repetition-penalty state
+    finished: jnp.ndarray     # (B,) bool
+    rng: jax.Array
+
+
+def cache_size(cfg: gpt_model.GPTConfig, prefix_width: int) -> int:
+    raw = prefix_width + 1 + cfg.max_gen_mel_tokens
+    return int(np.ceil(raw / 128) * 128)
+
+
+def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
+                   heads):
+    """One block forward for a single token, reading/writing the cache."""
+    x = nn.layer_norm(bp["ln_1"], h)
+    qkv = nn.linear(bp["attn"]["c_attn"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    b = h.shape[0]
+    hd = h.shape[-1] // heads
+    q = q.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
+
+    state_k = jax.lax.dynamic_update_slice(
+        state_k, k.astype(state_k.dtype)[None], (layer_idx, 0, 0, cur_index, 0))
+    state_v = jax.lax.dynamic_update_slice(
+        state_v, v.astype(state_v.dtype)[None], (layer_idx, 0, 0, cur_index, 0))
+
+    ck = jax.lax.dynamic_index_in_dim(state_k, layer_idx, 0, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(state_v, layer_idx, 0, keepdims=False)
+    bias = nn.key_padding_bias(key_valid)
+    out = nn.attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias=bias)
+    out = out.transpose(0, 2, 1, 3).reshape(b, 1, heads * hd)
+    h = h + nn.linear(bp["attn"]["c_proj"], out)
+    x = nn.layer_norm(bp["ln_2"], h)
+    x = nn.gelu_new(nn.linear(bp["mlp"]["c_fc"], x))
+    h = h + nn.linear(bp["mlp"]["c_proj"], x)
+    return h, state_k, state_v
+
+
+def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
+    """One AR step: embed last token, forward through the cached stack, sample."""
+    compute_dtype = params["mel_embedding"].dtype
+    tok_emb = params["mel_embedding"][state.last_token]
+    pos_emb = params["mel_pos"][state.n_generated]
+    h = (tok_emb + pos_emb)[:, None, :].astype(compute_dtype)
+
+    key_valid = state.key_valid.at[:, state.cur_index].set(True)
+
+    def body(carry, bp_with_idx):
+        h, ck, cv, idx = carry
+        h, ck, cv = _attend_cached(bp_with_idx, h, ck, cv, idx,
+                                   state.cur_index, key_valid, cfg.heads)
+        return (h, ck, cv, idx + 1), None
+
+    (h, cache_k, cache_v, _), _ = jax.lax.scan(
+        body, (h, state.cache_k, state.cache_v, jnp.int32(0)),
+        params["core"]["blocks"])
+    h = nn.layer_norm(params["core"]["ln_f"], h)
+    latent = nn.layer_norm(params["final_norm"], h[:, 0]).astype(jnp.float32)
+    logits = nn.linear(params["mel_head"], latent.astype(jnp.float32))
+
+    rng, key = jax.random.split(state.rng)
+    processed = sampling.process_logits(
+        logits, state.seen, repetition_penalty=sampler.repetition_penalty,
+        temperature=sampler.temperature, top_k=sampler.top_k,
+        top_p=sampler.top_p)
+    if sampler.do_sample:
+        next_token = sampling.sample_token(key, processed)
+    else:
+        next_token = jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    # finished rows keep emitting the pad (=stop) token
+    next_token = jnp.where(state.finished, cfg.stop_audio_token, next_token)
+    finished = state.finished | (next_token == cfg.stop_audio_token)
+    seen = state.seen.at[jnp.arange(state.seen.shape[0]), next_token].set(True)
+
+    new_state = DecodeState(
+        cache_k=cache_k, cache_v=cache_v, key_valid=key_valid,
+        cur_index=state.cur_index + 1, n_generated=state.n_generated + 1,
+        last_token=next_token, seen=seen, finished=finished, rng=rng)
+    return new_state, next_token, latent
+
+
+def init_state(cfg: gpt_model.GPTConfig, prefix_width: int, batch: int,
+               heads: int, head_dim: int, rng, cache_dtype=jnp.bfloat16
+               ) -> DecodeState:
+    t = cache_size(cfg, prefix_width)
+    return DecodeState(
+        cache_k=jnp.zeros((cfg.layers, batch, heads, t, head_dim), cache_dtype),
+        cache_v=jnp.zeros((cfg.layers, batch, heads, t, head_dim), cache_dtype),
+        key_valid=jnp.zeros((batch, t), bool),
+        cur_index=jnp.int32(0),
+        n_generated=jnp.int32(0),
+        last_token=jnp.full((batch,), cfg.start_audio_token, jnp.int32),
+        seen=sampling.init_seen(cfg.num_audio_tokens, batch,
+                                start_audio_token=cfg.start_audio_token),
+        finished=jnp.zeros((batch,), bool),
+        rng=rng)
+
+
+def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+            prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+            sampler: SamplerConfig):
+    """Embed [prefix | start_audio], fill the cache, sample the first token.
+
+    prefix_emb: (B, P, D) — cond latents + formatted text embeddings
+    (gpt.build_prefix_emb). Returns (state, first_token, first_latent).
+    """
+    compute_dtype = params["mel_embedding"].dtype
+    b, p, d = prefix_emb.shape
+    start_emb = (params["mel_embedding"][cfg.start_audio_token]
+                 + params["mel_pos"][0])[None, None, :]
+    h = jnp.concatenate(
+        [prefix_emb, jnp.broadcast_to(start_emb, (b, 1, d))], axis=1
+    ).astype(compute_dtype)
+    seq_valid = jnp.concatenate([prefix_valid, jnp.ones((b, 1), bool)], axis=1)
+
+    t_cache = state.cache_k.shape[3]
+    heads = cfg.heads
+    hd = d // heads
+
+    bias = nn.causal_bias(p + 1) + nn.key_padding_bias(seq_valid)
+
+    ks, vs = [], []
+
+    def body(carry, bp):
+        h = carry
+        x = nn.layer_norm(bp["ln_1"], h)
+        qkv = nn.linear(bp["attn"]["c_attn"], x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh = nn.split_heads(q, heads)
+        kh = nn.split_heads(k, heads)
+        vh = nn.split_heads(v, heads)
+        a = nn.merge_heads(nn.attention(qh, kh, vh, bias=bias))
+        h = h + nn.linear(bp["attn"]["c_proj"], a)
+        x = nn.layer_norm(bp["ln_2"], h)
+        h = h + nn.linear(bp["mlp"]["c_proj"], nn.gelu_new(nn.linear(bp["mlp"]["c_fc"], x)))
+        return h, (kh, vh)
+
+    h, (all_k, all_v) = jax.lax.scan(body, h, params["core"]["blocks"])
+    # all_k: (L, B, H, P+1, hd) -> pad to cache length
+    pad = t_cache - (p + 1)
+    cache_k = jnp.pad(all_k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+                      ).astype(state.cache_k.dtype)
+    cache_v = jnp.pad(all_v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+                      ).astype(state.cache_v.dtype)
+    key_valid = jnp.pad(seq_valid, ((0, 0), (0, pad)))
+
+    h = nn.layer_norm(params["core"]["ln_f"], h)
+    latent = nn.layer_norm(params["final_norm"], h[:, -1]).astype(jnp.float32)
+    logits = nn.linear(params["mel_head"], latent)
+
+    rng, key = jax.random.split(state.rng)
+    processed = sampling.process_logits(
+        logits, state.seen, repetition_penalty=sampler.repetition_penalty,
+        temperature=sampler.temperature, top_k=sampler.top_k,
+        top_p=sampler.top_p)
+    if sampler.do_sample:
+        first_token = sampling.sample_token(key, processed)
+    else:
+        first_token = jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    finished = first_token == cfg.stop_audio_token
+    seen = state.seen.at[jnp.arange(b), first_token].set(True)
+
+    new_state = DecodeState(
+        cache_k=cache_k, cache_v=cache_v, key_valid=key_valid,
+        cur_index=jnp.int32(p + 1), n_generated=jnp.int32(1),
+        last_token=first_token, seen=seen, finished=finished, rng=rng)
+    return new_state, first_token, latent
+
+
+def decode_chunk(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+                 sampler: SamplerConfig, chunk: int = 8):
+    """Run ``chunk`` AR steps; returns (state, tokens (B, chunk),
+    latents (B, chunk, D), already-finished-before-step mask (B, chunk)).
+
+    The latent at slot i is the hidden of the input position that generated
+    tokens[i] — exactly the pair the reference's ``sample_stream`` yields.
+    """
+
+    def step(state, _):
+        was_finished = state.finished
+        new_state, tok, latent = _decode_one(params, cfg, state, sampler)
+        return new_state, (tok, latent, was_finished)
+
+    state, (tokens, latents, pre_finished) = jax.lax.scan(
+        step, state, None, length=chunk)
+    # scan stacks along axis 0: (chunk, B, ...) -> (B, chunk, ...)
+    tokens = jnp.swapaxes(tokens, 0, 1)
+    latents = jnp.swapaxes(latents, 0, 1)
+    pre_finished = jnp.swapaxes(pre_finished, 0, 1)
+    return state, tokens, latents, pre_finished

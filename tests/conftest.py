@@ -1,0 +1,20 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so that
+multi-chip sharding tests work without TPU hardware (SURVEY.md §4d).
+
+Note: this environment pins JAX_PLATFORMS=axon (TPU); popping the env var and
+updating jax config before first backend use is the reliable override.
+"""
+
+import os
+import sys
+
+os.environ.pop("JAX_PLATFORMS", None)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
