@@ -317,7 +317,9 @@ def convert_bundle(path: str):
             out[name] = convert_dvae(d_sd)
     cv_sd = strip_prefix(sd, "content_extractor.model.")
     if cv_sd:
-        out["contentvec"] = convert_contentvec(cv_sd)
+        n_cv = max(int(k.split(".")[2]) for k in cv_sd
+                   if k.startswith("encoder.layers.")) + 1
+        out["contentvec"] = convert_contentvec(cv_sd, n_layers=n_cv)
     return out
 
 

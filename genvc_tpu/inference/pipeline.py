@@ -1,0 +1,477 @@
+"""End-to-end voice-conversion inference (non-streaming + streaming).
+
+Mirrors the reference orchestration (inference/model_init.py,
+inference/inference_utils.py) with a TPU-first execution plan:
+
+* every device function is jitted once with static shapes; variable lengths
+  ride through as valid-length scalars (masked-conv / masked-attention
+  parity — see models/*),
+* the streaming hot loop is ``prefill`` + chunked ``decode_chunk`` (8 AR steps
+  per device call) + a per-chunk vocoder call; the only host↔device traffic is
+  8 tokens + an 8×1024 latent block per chunk,
+* the non-streaming path keeps the reference's teacher-forced second pass
+  (latent re-forward) and single full-utterance vocoder call, with generation
+  lengths bucketed to limit recompilation.
+
+Host-side reflect-padding trick: torchaudio's center=True mel reflects the
+*true-length* signal; we reflect on host around the real extent, then zero-pad
+to the static width, and run the device mel with ``pre_padded=True`` — all
+valid frames then match the reference bit-for-tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genvc_tpu import checkpoint
+from genvc_tpu.config import GenVCConfig
+from genvc_tpu.decode import engine
+from genvc_tpu.dsp import mel as mel_mod
+from genvc_tpu.models import contentvec, dvae, gpt as gpt_model, hifigan
+from genvc_tpu.ops.conv import linear_interp_x4
+
+COND_CHUNK_SECONDS = 6
+COND_MAX_SECONDS = 30
+SEG_SECONDS = 6.0
+MIN_CHUNK_FRACTION = 0.32
+STREAM_CHUNK = 8
+CROSSFADE = 1024
+TEXT_WIDTH = 80  # static content-code width (6 s @ 12.5 Hz = 75 codes)
+LATENT_BUCKET = 64
+
+
+def _bucket(n: int, step: int = LATENT_BUCKET) -> int:
+    return max(step, int(np.ceil(n / step) * step))
+
+
+@dataclasses.dataclass
+class GenVCPipeline:
+    config: GenVCConfig
+    gpt_cfg: gpt_model.GPTConfig
+    gpt_params: dict
+    hifigan_params: dict
+    content_dvae_params: dict
+    content_dvae_cfg: dvae.DVAEConfig
+    acoustic_dvae_params: Optional[dict]
+    acoustic_dvae_cfg: Optional[dvae.DVAEConfig]
+    contentvec_params: dict
+    mel_norms: jnp.ndarray
+    seed: int = 0
+
+    def __post_init__(self):
+        cfg = self.config
+        self.sample_rate = cfg.audio.sample_rate
+        self.content_sample_rate = cfg.audio.content_sample_rate
+        self.hifigan_scale_factor = int(
+            cfg.model_args.gpt_code_stride_len // cfg.vocoder_config.hop_length)
+        self.style_spec = mel_mod.MelSpec(
+            sample_rate=self.sample_rate, n_fft=2048, win_length=1024,
+            hop_length=256, n_mels=80, fmin=0, fmax=8000.0, scale="htk")
+        self.sampler = engine.SamplerConfig(
+            temperature=cfg.temperature, top_k=cfg.top_k, top_p=cfg.top_p,
+            repetition_penalty=cfg.repetition_penalty)
+        self._seg_len_16k = int(SEG_SECONDS * self.content_sample_rate)
+        self._min_chunk_16k = int(MIN_CHUNK_FRACTION * self.content_sample_rate)
+        self._cond_chunk = COND_CHUNK_SECONDS * self.sample_rate
+        self._prefix_width = self.gpt_cfg.n_cond_latents + TEXT_WIDTH + 2
+        self._rng = jax.random.key(self.seed)
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+
+    def _build_jits(self):
+        gcfg = self.gpt_cfg
+        style_spec = self.style_spec
+        mel_norms = self.mel_norms
+        voc_cfg = self.config.vocoder_config
+        sampler = self.sampler
+
+        @jax.jit
+        def cond_latent_fn(gpt_params, wav_prepadded, n_frames_valid):
+            m = mel_mod.mel_torchaudio(wav_prepadded, style_spec, mel_norms,
+                                       pre_padded=True)
+            n_frames = m.shape[-1]
+            frame_valid = jnp.arange(n_frames)[None, :] < n_frames_valid
+            return gpt_model.get_style_emb(gpt_params, m, frame_valid)
+
+        @jax.jit
+        def content_fn(cv_params, cd_params, wav16k, sample_valid):
+            feats = contentvec.extract_content_features(
+                cv_params, wav16k, sample_valid=sample_valid)
+            feats = jnp.swapaxes(feats, 1, 2)  # (B, 256, T')
+            valid = sample_valid
+            for _, k, s in contentvec.CONV_LAYERS:
+                valid = jnp.maximum((valid - k) // s + 1, 0)
+            codes = dvae.get_codebook_indices(
+                self.content_dvae_params, feats, self.content_dvae_cfg,
+                valid_len=valid)
+            n_codes = valid
+            for _ in range(self.content_dvae_cfg.num_layers):
+                n_codes = (n_codes - 1) // 2 + 1
+            return codes, n_codes
+
+        @jax.jit
+        def prefill_fn(gpt_params, cond_latents, text_codes, text_len, rng):
+            prefix, valid = gpt_model.build_prefix_emb(
+                gpt_params, gcfg, cond_latents, text_codes, text_len)
+            state = engine.init_state(
+                gcfg, self._prefix_width, 1, gcfg.heads,
+                gcfg.model_dim // gcfg.heads, rng,
+                cache_dtype=gpt_params["mel_embedding"].dtype)
+            return engine.prefill(gpt_params, gcfg, state, prefix, valid,
+                                  sampler)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def decode_chunk_fn(gpt_params, state, chunk=STREAM_CHUNK):
+            return engine.decode_chunk(gpt_params, gcfg, state, sampler,
+                                       chunk=chunk)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def vocode_fn(hifigan_params, latents, n_static):
+            # latents: (1, n_static, 1024) exact-width streaming chunk
+            x = jnp.swapaxes(latents, 1, 2)
+            x = linear_interp_x4(x, self.hifigan_scale_factor)
+            wav = hifigan.generator_forward(hifigan_params, x, voc_cfg)
+            return wav[:, 0]
+
+        @jax.jit
+        def vocode_masked_fn(hifigan_params, latents, n_valid):
+            # latents: (1, W, 1024) zero-padded; n_valid true latent count
+            x = jnp.swapaxes(latents, 1, 2)
+            x = linear_interp_x4(x, self.hifigan_scale_factor, valid_len=n_valid)
+            wav = hifigan.generator_forward(
+                hifigan_params, x, voc_cfg,
+                valid_len=n_valid * self.hifigan_scale_factor)
+            return wav[:, 0]
+
+        def latent_fn(gpt_params, text_codes, text_len, gen_codes, n_gen,
+                      cond_latents):
+            wav_lengths = n_gen * gcfg.code_stride_len
+            lat = gpt_model.forward_train(
+                gpt_params, gcfg, text_codes, text_len, gen_codes, wav_lengths,
+                cond_latents=cond_latents, return_latent=True, train=False)
+            return lat
+
+        self._cond_latent_fn = cond_latent_fn
+        self._content_fn = content_fn
+        self._prefill_fn = prefill_fn
+        self._decode_chunk_fn = decode_chunk_fn
+        self._vocode_fn = vocode_fn
+        self._vocode_masked_fn = vocode_masked_fn
+        self._latent_fn = jax.jit(latent_fn)
+
+    # ------------------------------------------------------- building blocks
+
+    def get_gpt_cond_latents(self, ref_audio: np.ndarray) -> jnp.ndarray:
+        """(1, T) 24 kHz reference audio -> (1, 32, D) speaker latents
+        (reference: hifigan_trainer.py:438-455 — 6 s chunks, ≤30 s, mean)."""
+        sr = self.sample_rate
+        audio = np.asarray(ref_audio)
+        if audio.shape[1] > sr * COND_MAX_SECONDS:
+            audio = audio[:, : sr * COND_MAX_SECONDS]
+        pad_fft = self.style_spec.n_fft // 2
+        static_w = self._cond_chunk + 2 * pad_fft
+        embs = []
+        for i in range(0, audio.shape[1], self._cond_chunk):
+            chunk = audio[:, i : i + self._cond_chunk]
+            if chunk.shape[-1] < sr * 0.33:
+                continue
+            t_real = chunk.shape[-1]
+            padded = np.pad(chunk, ((0, 0), (pad_fft, pad_fft)), mode="reflect")
+            padded = np.pad(padded, ((0, 0), (0, static_w - padded.shape[1])))
+            n_frames = t_real // self.style_spec.hop_length + 1
+            emb = self._cond_latent_fn(self.gpt_params, jnp.asarray(padded),
+                                       jnp.int32(n_frames))
+            embs.append(emb)
+        return jnp.mean(jnp.stack(embs), axis=0)
+
+    def extract_content_codes(self, seg16k: np.ndarray):
+        """(1, t) 16 kHz segment (t <= 6 s) -> (codes (1, TEXT_WIDTH), n)."""
+        t_real = seg16k.shape[-1]
+        padded = np.pad(seg16k, ((0, 0), (0, self._seg_len_16k - t_real)))
+        codes, n = self._content_fn(self.contentvec_params,
+                                    self.content_dvae_params,
+                                    jnp.asarray(padded),
+                                    jnp.asarray([t_real], jnp.int32))
+        n = int(n[0])
+        codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
+        return codes, n
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def generate_segment_codes(self, codes, n_codes: int):
+        """Run AR generation for one segment; returns (gen_codes list[int],
+        latents (n, D) np.ndarray) — latents aligned as the stream generator
+        yields them (position hidden that produced each token)."""
+        state, tok0, lat0 = self._prefill_fn(
+            self.gpt_params, self._cond_latent, codes,
+            jnp.asarray([n_codes], jnp.int32), self._next_rng())
+        toks = [int(tok0[0])]
+        lats = [np.asarray(lat0)]
+        stop = self.gpt_cfg.stop_audio_token
+        max_new = self.gpt_cfg.max_gen_mel_tokens
+        while toks[-1] != stop and len(toks) < max_new:
+            state, ctoks, clats, _ = self._decode_chunk_fn(self.gpt_params, state)
+            ctoks = np.asarray(ctoks)[0]
+            clats = np.asarray(clats)[0]
+            for t, l in zip(ctoks, clats):
+                toks.append(int(t))
+                lats.append(l[None])
+                if t == stop or len(toks) >= max_new:
+                    break
+        return toks, np.concatenate(lats, axis=0)
+
+    # ------------------------------------------------------------ public API
+
+    def synthesize(self, src_wav: np.ndarray, ref_audio: np.ndarray
+                   ) -> np.ndarray:
+        """Non-streaming VC (reference synthesize_utt, inference_utils.py:24-89).
+
+        src_wav: (1, T) @16 kHz; ref_audio: (1, T) @24 kHz → (T_out,) @24 kHz.
+        """
+        self._cond_latent = self.get_gpt_cond_latents(ref_audio)
+        total = src_wav.shape[-1]
+        final_latents = []
+        for i in range(0, total, self._seg_len_16k):
+            seg = src_wav[:, i : i + self._seg_len_16k]
+            if i + self._seg_len_16k >= total and seg.shape[-1] < self._min_chunk_16k:
+                seg = np.pad(seg, ((0, 0), (0, self._min_chunk_16k - seg.shape[-1])))
+            codes, n_codes = self.extract_content_codes(seg)
+            toks, _ = self.generate_segment_codes(codes, n_codes)
+            gen = [t for t in toks if t != self.gpt_cfg.stop_audio_token]
+            if not gen:
+                continue
+            n = len(gen)
+            wm = _bucket(n + 3)
+            gen_arr = np.zeros((1, wm), np.int32)
+            gen_arr[0, :n] = gen
+            lat = self._latent_fn(self.gpt_params, codes,
+                                  jnp.asarray([n_codes], jnp.int32),
+                                  jnp.asarray(gen_arr),
+                                  jnp.asarray([n * self.gpt_cfg.code_stride_len],
+                                              jnp.int32),
+                                  self._cond_latent)
+            final_latents.append(np.asarray(lat)[0, :n])
+        lat_all = np.concatenate(final_latents, axis=0)
+        n_lat = lat_all.shape[0]
+        w = _bucket(n_lat)
+        lat_pad = np.zeros((1, w, lat_all.shape[-1]), np.float32)
+        lat_pad[0, :n_lat] = lat_all
+        wav = self._vocode_masked_fn(self.hifigan_params, jnp.asarray(lat_pad),
+                                     jnp.int32(n_lat))
+        n_out = n_lat * self.gpt_cfg.code_stride_len
+        return np.asarray(wav)[0, :n_out]
+
+    def synthesize_streaming(self, src_wav: np.ndarray, ref_audio: np.ndarray,
+                             stream_chunk_size: int = STREAM_CHUNK,
+                             verbose: bool = True):
+        """Streaming VC (reference synthesize_utt_streaming,
+        inference_utils.py:136-217). Returns (wav, latency_s, rtf)."""
+        begin = time.perf_counter()
+        self._cond_latent = self.get_gpt_cond_latents(ref_audio)
+        total = src_wav.shape[-1]
+        stop = self.gpt_cfg.stop_audio_token
+        max_new = self.gpt_cfg.max_gen_mel_tokens
+        pred_audios = []
+        wav_overlap = None
+        latency = None
+
+        for i in range(0, total, self._seg_len_16k):
+            seg = src_wav[:, i : i + self._seg_len_16k]
+            if i + self._seg_len_16k >= total and seg.shape[-1] < self._min_chunk_16k:
+                seg = np.pad(seg, ((0, 0), (0, self._min_chunk_16k - seg.shape[-1])))
+            codes, n_codes = self.extract_content_codes(seg)
+            state, tok0, lat0 = self._prefill_fn(
+                self.gpt_params, self._cond_latent, codes,
+                jnp.asarray([n_codes], jnp.int32), self._next_rng())
+            pending_lat = [np.asarray(lat0)]
+            n_toks = 1
+            done = int(tok0[0]) == stop
+
+            def flush(latbuf):
+                nonlocal wav_overlap, latency
+                lat = np.concatenate(latbuf, axis=0)[None]  # (1, n, D)
+                wav_gen = np.asarray(self._vocode_fn(
+                    self.hifigan_params, jnp.asarray(lat), lat.shape[1]))[0]
+                chunk_wav, wav_overlap = _handle_chunk(wav_gen, wav_overlap,
+                                                       CROSSFADE)
+                pred_audios.append(chunk_wav)
+                if latency is None:
+                    latency = time.perf_counter() - begin
+                    if verbose:
+                        print(f"Latency: {latency:.3f}s")
+
+            # device calls aligned to the flush boundary: the prefill produced
+            # 1 token, so the first decode call runs chunk-1 steps, later ones
+            # a full chunk; every emitted (token, latent) is consumed.
+            while not done and n_toks < max_new:
+                k = stream_chunk_size - (n_toks % stream_chunk_size)
+                state, ctoks, clats, _ = self._decode_chunk_fn(
+                    self.gpt_params, state, k)
+                ctoks = np.asarray(ctoks)[0]
+                clats = np.asarray(clats)[0]
+                for t, l in zip(ctoks, clats):
+                    pending_lat.append(l[None])
+                    n_toks += 1
+                    if t == stop or n_toks >= max_new:
+                        done = True
+                        break
+                if not done and pending_lat and n_toks % stream_chunk_size == 0:
+                    flush(pending_lat)
+                    pending_lat = []
+            if pending_lat:
+                flush(pending_lat)
+
+        wav = np.concatenate(pred_audios, axis=-1)
+        elapsed = time.perf_counter() - begin
+        rtf = elapsed / (total / self.content_sample_rate)
+        if verbose:
+            print(f"Real-time factor: {rtf:.3f}")
+        return wav, latency, rtf
+
+    def warmup(self, streaming: bool = True):
+        """Compile the hot path so first-chunk latency excludes compilation."""
+        rng = np.random.default_rng(0)
+        ref = (rng.standard_normal((1, self._cond_chunk)) * 0.05).astype(np.float32)
+        src = (rng.standard_normal((1, self._seg_len_16k)) * 0.05).astype(np.float32)
+        self._cond_latent = self.get_gpt_cond_latents(ref)
+        codes, n = self.extract_content_codes(src)
+        state, tok0, lat0 = self._prefill_fn(
+            self.gpt_params, self._cond_latent, codes,
+            jnp.asarray([n], jnp.int32), self._next_rng())
+        self._decode_chunk_fn(self.gpt_params, state)
+        if streaming:
+            for c in range(1, STREAM_CHUNK + 1):
+                lat = jnp.zeros((1, c, self.gpt_cfg.model_dim), jnp.float32)
+                self._vocode_fn(self.hifigan_params, lat, c)
+        else:
+            lat = jnp.zeros((1, LATENT_BUCKET, self.gpt_cfg.model_dim), jnp.float32)
+            self._vocode_masked_fn(self.hifigan_params, lat, jnp.int32(60))
+            gen_arr = jnp.zeros((1, LATENT_BUCKET), jnp.int32)
+            self._latent_fn(self.gpt_params, codes, jnp.asarray([n], jnp.int32),
+                            gen_arr,
+                            jnp.asarray([60 * self.gpt_cfg.code_stride_len], jnp.int32),
+                            self._cond_latent)
+        jax.block_until_ready(lat0)
+
+
+def _handle_chunk(wav_gen: np.ndarray, wav_overlap, overlap_len: int):
+    """Crossfade chunk assembly (reference handle_chunks,
+    inference_utils.py:5-21)."""
+    wav_chunk = wav_gen[:-overlap_len]
+    if wav_overlap is not None:
+        if overlap_len > len(wav_chunk):
+            return wav_gen[-overlap_len:], wav_gen[-overlap_len:]
+        ramp = np.linspace(0.0, 1.0, overlap_len, dtype=np.float32)
+        wav_chunk = wav_chunk.copy()
+        wav_chunk[:overlap_len] = wav_overlap * (1.0 - ramp) + \
+            wav_chunk[:overlap_len] * ramp
+    return wav_chunk, wav_gen[-overlap_len:]
+
+
+# ---------------------------------------------------------------------------
+# Model init
+
+
+def model_init(checkpoint_path: str, compute_dtype=jnp.float32,
+               seed: int = 0) -> GenVCPipeline:
+    """Load a GenVC bundle (torch ``.pth`` or converted ``.npz``) and build the
+    inference pipeline (reference: inference/model_init.py:7-34)."""
+    if checkpoint_path.endswith(".npz"):
+        import json, os
+        tree = checkpoint.load_pytree_npz(checkpoint_path)
+        cfg_path = checkpoint_path[:-4] + ".config.json"
+        with open(cfg_path) as f:
+            cfg_dict = json.load(f)
+        tree["config"] = cfg_dict
+    else:
+        tree = checkpoint.convert_bundle(checkpoint_path)
+    cfg = GenVCConfig.from_dict(tree["config"] or {})
+    return build_pipeline(tree, cfg, compute_dtype=compute_dtype, seed=seed)
+
+
+def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
+                   seed: int = 0) -> GenVCPipeline:
+    ma = cfg.model_args
+    gpt_cfg = gpt_model.GPTConfig(
+        layers=ma.gpt_layers, model_dim=ma.gpt_n_model_channels,
+        heads=ma.gpt_n_heads, max_text_tokens=ma.gpt_max_text_tokens,
+        max_mel_tokens=ma.gpt_max_audio_tokens,
+        max_prompt_tokens=ma.gpt_max_prompt_tokens,
+        number_text_tokens=ma.gpt_number_text_tokens or 258,
+        num_audio_tokens=ma.gpt_num_audio_tokens,
+        start_text_token=ma.gpt_start_text_token or 256,
+        stop_text_token=ma.gpt_stop_text_token or 257,
+        start_audio_token=ma.gpt_start_audio_token,
+        stop_audio_token=ma.gpt_stop_audio_token,
+        code_stride_len=ma.gpt_code_stride_len)
+
+    def cast(x):
+        x = jnp.asarray(x)
+        if x.dtype == jnp.float32 and compute_dtype != jnp.float32:
+            return x.astype(compute_dtype)
+        return x
+
+    gpt_params = jax.tree.map(cast, tree["gpt"])
+    # keep parity-critical leaves in f32
+    for key in ("final_norm",):
+        gpt_params[key] = jax.tree.map(jnp.float32, jax.tree.map(jnp.asarray, tree["gpt"][key]))
+    mel_norms = _load_mel_norms(cfg)
+
+    cd_cfg = dvae.DVAEConfig(
+        channels=cfg.content_dvae_config.num_channels,
+        num_tokens=cfg.content_dvae_config.num_tokens,
+        codebook_dim=cfg.content_dvae_config.codebook_dim,
+        hidden_dim=cfg.content_dvae_config.hidden_dim,
+        num_resnet_blocks=cfg.content_dvae_config.num_resnet_blocks,
+        kernel_size=cfg.content_dvae_config.kernel_size,
+        num_layers=cfg.content_dvae_config.num_layers)
+    ad_cfg = dvae.DVAEConfig(
+        channels=cfg.acoustic_dvae_config.num_channels,
+        num_tokens=cfg.acoustic_dvae_config.num_tokens,
+        codebook_dim=cfg.acoustic_dvae_config.codebook_dim,
+        hidden_dim=cfg.acoustic_dvae_config.hidden_dim,
+        num_resnet_blocks=cfg.acoustic_dvae_config.num_resnet_blocks,
+        kernel_size=cfg.acoustic_dvae_config.kernel_size,
+        num_layers=cfg.acoustic_dvae_config.num_layers)
+
+    return GenVCPipeline(
+        config=cfg,
+        gpt_cfg=gpt_cfg,
+        gpt_params=gpt_params,
+        hifigan_params=jax.tree.map(jnp.asarray, tree["hifigan"]),
+        content_dvae_params=jax.tree.map(jnp.asarray, tree["content_dvae"]),
+        content_dvae_cfg=cd_cfg,
+        acoustic_dvae_params=jax.tree.map(jnp.asarray, tree.get("acoustic_dvae"))
+        if tree.get("acoustic_dvae") else None,
+        acoustic_dvae_cfg=ad_cfg,
+        contentvec_params=jax.tree.map(jnp.asarray, tree["contentvec"]),
+        mel_norms=mel_norms,
+        seed=seed)
+
+
+def _load_mel_norms(cfg: GenVCConfig):
+    import os
+    path = cfg.model_args.mel_norm_file
+    candidates = [path, "pre_trained/mel_stats.npy",
+                  "/root/reference/pre_trained/mel_stats.pth"]
+    for cand in candidates:
+        if cand and os.path.exists(str(cand)):
+            if str(cand).endswith(".npy"):
+                return jnp.asarray(np.load(cand))
+            try:
+                import torch
+                return jnp.asarray(torch.load(cand, map_location="cpu",
+                                              weights_only=True).numpy())
+            except Exception:
+                continue
+    return jnp.ones((80,), jnp.float32)

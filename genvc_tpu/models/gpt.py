@@ -219,7 +219,18 @@ def forward_train(
     emb = jnp.concatenate([cond_latents.astype(text_emb.dtype), text_emb, mel_emb], axis=1)
 
     if return_latent:
-        key_valid = None  # reference passes attn_mask=None in the latent path
+        # The reference passes attn_mask=None here, but its tensor widths are
+        # exact (batch-max / generation length). Under our static bucketed
+        # widths we mask only the columns that would not exist in the
+        # reference's tensors: text cols > l+1, mel cols > code_len+1.
+        # When the static width equals the reference width this mask is
+        # all-ones, i.e. numerics are identical.
+        tpos = jnp.arange(wt + 2)[None, :]
+        mpos = jnp.arange(wm + 2)[None, :]
+        key_valid = jnp.concatenate(
+            [jnp.ones((b, n_cond), bool),
+             tpos <= text_lengths[:, None] + 1,
+             mpos <= code_lengths[:, None] + 1], axis=1)
     else:
         # attn_mask_text[l+1:]=0, attn_mask_mel[l+1:]=0 (gpt.py:470-474)
         tpos = jnp.arange(wt + 2)[None, :]

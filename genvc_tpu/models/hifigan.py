@@ -76,45 +76,68 @@ def generator_to_weight_norm(params):
     }
 
 
-def _resblock2(p, x, kernel: int, dilations: Sequence[int]):
+def _resblock2(p, x, kernel: int, dilations: Sequence[int], valid_len=None):
     for conv, d in zip(p["convs"], dilations):
         xt = leaky_relu(x, LRELU_SLOPE)
+        xt = _mask_t(xt, valid_len)
         xt = conv1d(conv, xt, padding=get_padding(kernel, d), dilation=d)
         x = xt + x
     return x
 
 
-def _resblock1(p, x, kernel: int, dilations: Sequence[int]):
+def _resblock1(p, x, kernel: int, dilations: Sequence[int], valid_len=None):
     n = len(dilations)
     for i in range(n):
         xt = leaky_relu(x, LRELU_SLOPE)
+        xt = _mask_t(xt, valid_len)
         xt = conv1d(p["convs1"][i], xt, padding=get_padding(kernel, dilations[i]),
                     dilation=dilations[i])
         xt = leaky_relu(xt, LRELU_SLOPE)
+        xt = _mask_t(xt, valid_len)
         xt = conv1d(p["convs2"][i], xt, padding=get_padding(kernel, 1))
         x = xt + x
     return x
 
 
-def generator_forward(params, x: jnp.ndarray, cfg: VocoderConfig) -> jnp.ndarray:
-    """(B, input_feat_dim, T) -> (B, 1, T*256) waveform in [-1, 1]."""
+def _mask_t(x, valid_len):
+    if valid_len is None:
+        return x
+    t = x.shape[-1]
+    return x * (jnp.arange(t)[None, None, :] < valid_len)
+
+
+def generator_forward(params, x: jnp.ndarray, cfg: VocoderConfig,
+                      valid_len=None) -> jnp.ndarray:
+    """(B, input_feat_dim, T) -> (B, 1, T*256) waveform in [-1, 1].
+
+    ``valid_len`` (scalar, in input frames): when the input is zero-padded to a
+    static width, activations beyond the scaled valid length are re-zeroed
+    after every conv so valid output samples exactly match an exact-length run
+    (each torch conv zero-pads at the true boundary; masking reproduces that).
+    """
+    x = _mask_t(x, valid_len)
     x = conv1d(params["conv_pre"], x, padding=3)
     n_kernels = len(cfg.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernal_sizes)):
         x = leaky_relu(x, LRELU_SLOPE)
+        x = _mask_t(x, valid_len)
         x = conv_transpose1d(params["ups"][i], x, stride=u, padding=(k - u) // 2)
+        if valid_len is not None:
+            valid_len = valid_len * u
+            x = _mask_t(x, valid_len)
         xs = None
         for j in range(n_kernels):
             rb = params["resblocks"][i * n_kernels + j]
             kr = cfg.resblock_kernel_sizes[j]
             dil = cfg.resblock_dilation_sizes[j]
             if cfg.resblock_type == "1":
-                y = _resblock1(rb, x, kr, dil)
+                y = _resblock1(rb, x, kr, dil, valid_len)
             else:
-                y = _resblock2(rb, x, kr, dil)
+                y = _resblock2(rb, x, kr, dil, valid_len)
             xs = y if xs is None else xs + y
         x = xs / n_kernels
     x = leaky_relu(x, 0.01)  # torch F.leaky_relu default slope (hifigan.py:230)
+    x = _mask_t(x, valid_len)
     x = conv1d(params["conv_post"], x, padding=3)
     return jnp.tanh(x)
 

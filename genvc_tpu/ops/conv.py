@@ -80,21 +80,31 @@ def nearest_upsample1d(x, factor: int):
     return jnp.repeat(x, factor, axis=-1)
 
 
-def linear_interp_x4(x, factor: int = 4):
+def linear_interp_x4(x, factor: int = 4, valid_len=None):
     """torch ``F.interpolate(mode='linear', align_corners=False)`` for integer
     upscale factors — the reference's latent ×4 upsampler
-    (inference/inference_utils.py:81-85). x: (B, C, T) -> (B, C, T*factor)."""
+    (inference/inference_utils.py:81-85). x: (B, C, T) -> (B, C, T*factor).
+
+    ``valid_len`` (scalar) clamps the sampled indices to the true length so a
+    zero-padded input reproduces the exact-length result at valid outputs."""
     b, c, t = x.shape
     out_t = t * factor
     # output j samples input at position (j + 0.5)/factor - 0.5
     pos = (np.arange(out_t) + 0.5) / factor - 0.5
     lo = np.floor(pos).astype(np.int32)
-    frac = (pos - lo).astype(np.float32)
-    lo_c = np.clip(lo, 0, t - 1)
-    hi_c = np.clip(lo + 1, 0, t - 1)
-    xl = x[..., lo_c]
-    xh = x[..., hi_c]
-    return xl + (xh - xl) * jnp.asarray(frac)
+    frac = jnp.asarray((pos - lo).astype(np.float32))
+    if valid_len is None:
+        lo_c = np.clip(lo, 0, t - 1)
+        hi_c = np.clip(lo + 1, 0, t - 1)
+        xl = x[..., lo_c]
+        xh = x[..., hi_c]
+    else:
+        hi_lim = valid_len - 1
+        lo_c = jnp.clip(jnp.asarray(lo), 0, hi_lim)
+        hi_c = jnp.clip(jnp.asarray(lo) + 1, 0, hi_lim)
+        xl = jnp.take(x, lo_c, axis=-1)
+        xh = jnp.take(x, hi_c, axis=-1)
+    return xl + (xh - xl) * frac
 
 
 def init_conv1d(key, out_ch, in_ch, kernel, std: float | None = None,

@@ -1,0 +1,65 @@
+"""GenVC-compatible inference CLI (reference: infer.py:7-36).
+
+Usage:
+    python infer.py --model_path GenVC_small.pth --src_wav in.wav \
+        --ref_audio ref.wav --output_path out.wav [--top_k 15] [--streaming]
+
+Accepts either a torch ``.pth`` bundle (converted on the fly) or a
+pre-converted ``.npz`` bundle (see tools/convert_checkpoint.py).
+"""
+
+import argparse
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", type=str,
+                        default="pre_trained/GenVC_large.pth")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="kept for reference-CLI compatibility; JAX picks "
+                             "the platform")
+    parser.add_argument("--src_wav", type=str, default="samples/EF4_ENG_0112_1.wav")
+    parser.add_argument("--ref_audio", type=str, default="samples/EM1_ENG_0037_1.wav")
+    parser.add_argument("--output_path", type=str, default="samples/converted.wav")
+    parser.add_argument("--top_k", type=int, default=15)
+    parser.add_argument("--streaming", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the GPT decode in bfloat16")
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from genvc_tpu.dsp.audio_io import load_audio, write_wav
+    from genvc_tpu.inference.pipeline import model_init
+
+    pipe = model_init(args.model_path,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                      seed=args.seed)
+    # top_k is the main inference quality knob; greedy (top_k=1) is preferred
+    # for streaming (reference README.md:52)
+    pipe.sampler = pipe.sampler.__class__(
+        temperature=pipe.sampler.temperature, top_k=args.top_k,
+        top_p=pipe.sampler.top_p,
+        repetition_penalty=pipe.sampler.repetition_penalty)
+    pipe._build_jits()
+
+    src_wav = load_audio(args.src_wav, pipe.content_sample_rate)
+    ref_audio = load_audio(args.ref_audio, pipe.sample_rate)
+    if src_wav is None or ref_audio is None:
+        print("failed to load audio", file=sys.stderr)
+        sys.exit(1)
+
+    if args.streaming:
+        pipe.warmup(streaming=True)
+        wav, latency, rtf = pipe.synthesize_streaming(src_wav, ref_audio)
+    else:
+        wav = pipe.synthesize(src_wav, ref_audio)
+
+    write_wav(args.output_path, wav, pipe.sample_rate)
+    print(f"wrote {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

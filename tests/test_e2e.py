@@ -1,0 +1,79 @@
+"""End-to-end inference smoke tests on a synthetic reference-format bundle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    from synthetic_bundle import write_bundle
+    from genvc_tpu.inference.pipeline import model_init
+
+    path = str(tmp_path_factory.mktemp("bundle") / "tiny_genvc.pth")
+    write_bundle(path)
+    return model_init(path)
+
+
+def test_cond_latents_shape(pipe):
+    rng = np.random.default_rng(0)
+    ref = (rng.standard_normal((1, 24000 * 2)) * 0.1).astype(np.float32)
+    lat = pipe.get_gpt_cond_latents(ref)
+    assert lat.shape == (1, 32, 64)
+    assert np.all(np.isfinite(np.asarray(lat)))
+
+
+def test_content_codes(pipe):
+    rng = np.random.default_rng(1)
+    seg = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    codes, n = pipe.extract_content_codes(seg)
+    assert codes.shape == (1, 80)
+    # 1 s @ 16 kHz -> 49 frames -> ceil(ceil(49/2)/2) = 13 codes
+    assert n == 13
+    assert np.all(np.asarray(codes)[0, :n] < 256)
+
+
+def test_nonstreaming_synthesis(pipe):
+    rng = np.random.default_rng(2)
+    src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    wav = pipe.synthesize(src, ref)
+    assert wav.ndim == 1
+    assert wav.shape[0] % 1024 == 0
+    assert wav.shape[0] > 0
+    assert np.all(np.abs(wav) <= 1.0)
+
+
+def test_streaming_synthesis(pipe):
+    rng = np.random.default_rng(3)
+    src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    wav, latency, rtf = pipe.synthesize_streaming(src, ref, verbose=False)
+    assert wav.ndim == 1 and wav.shape[0] > 0
+    assert latency is not None and latency > 0
+    assert rtf > 0
+
+
+def test_streaming_vs_nonstreaming_code_consistency(pipe):
+    """Greedy decode must give identical codes through both drivers."""
+    import dataclasses
+    from genvc_tpu.decode.engine import SamplerConfig
+
+    old = pipe.sampler
+    pipe.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                 repetition_penalty=1.0, do_sample=False)
+    pipe._build_jits()
+    try:
+        rng = np.random.default_rng(4)
+        src = (rng.standard_normal((1, 8000)) * 0.1).astype(np.float32)
+        ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+        pipe._cond_latent = pipe.get_gpt_cond_latents(ref)
+        codes, n = pipe.extract_content_codes(src)
+        toks1, lats1 = pipe.generate_segment_codes(codes, n)
+        toks2, lats2 = pipe.generate_segment_codes(codes, n)
+        assert toks1 == toks2
+        np.testing.assert_allclose(lats1, lats2, atol=1e-5)
+    finally:
+        pipe.sampler = old
+        pipe._build_jits()
