@@ -1,0 +1,131 @@
+"""Benchmark: streaming voice-conversion RTF / first-chunk latency on TPU.
+
+Protocol mirrors the reference's published measurement (README.md:70-78,
+inference/inference_utils.py:148-216): streaming mode, latency = time from
+start to first emitted audio chunk, RTF = processing time / input duration.
+Baseline to beat: RTF 0.28 / 95.2 ms first-chunk latency (H100).
+
+No public GenVC checkpoint is bundled in this environment, so the benchmark
+runs the flagship architecture (30L/1024d/4H GPT + HiFi-GAN + ContentVec +
+dVAEs) with deterministic random weights — identical compute and memory
+traffic to a trained model — and caps generation at the trained model's
+audio-per-content ratio (23.44 Hz audio codes vs 12.5 Hz content codes).
+
+Prints ONE JSON line:
+  {"metric": "streaming_rtf", "value": ..., "unit": "ratio",
+   "vs_baseline": <baseline 0.28 / ours — >1 means faster than H100>, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_random_pipeline(compute_dtype, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from genvc_tpu.config import GenVCConfig
+    from genvc_tpu.inference.pipeline import build_pipeline
+    from genvc_tpu.models import contentvec, dvae, gpt as gpt_model, hifigan
+
+    cfg = GenVCConfig()
+    ma = cfg.model_args
+    ma.gpt_layers, ma.gpt_n_model_channels, ma.gpt_n_heads = 30, 1024, 4
+    ma.gpt_number_text_tokens, ma.gpt_start_text_token, ma.gpt_stop_text_token = 258, 256, 257
+    cfg.acoustic_dvae_config.num_channels = 80
+    cfg.acoustic_dvae_config.num_tokens = 1024
+    cfg.content_dvae_config.num_channels = 256
+    cfg.content_dvae_config.num_tokens = 256
+    for c in (cfg.acoustic_dvae_config, cfg.content_dvae_config):
+        c.codebook_dim, c.hidden_dim, c.num_resnet_blocks, c.num_layers = 512, 512, 3, 2
+    cfg.top_k = 1  # greedy — recommended for streaming (reference README.md:52)
+
+    gcfg = gpt_model.GPTConfig(layers=30, model_dim=1024, heads=4)
+    key = jax.random.key(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    tree = {
+        "gpt": gpt_model.init_params(k1, gcfg),
+        "hifigan": hifigan.init_generator(k2, cfg.vocoder_config),
+        "acoustic_dvae": dvae.init_params(k3, dvae.DVAEConfig(
+            channels=80, num_tokens=1024)),
+        "content_dvae": dvae.init_params(k4, dvae.DVAEConfig(
+            channels=256, num_tokens=256)),
+        "contentvec": contentvec.init_params(k5, n_layers=12),
+        "config": cfg.to_dict(),
+    }
+    pipe = build_pipeline(tree, cfg, compute_dtype=compute_dtype)
+    pipe.gen_cap_tokens_per_code = 1.875
+    return pipe
+
+
+def load_bench_audio(pipe):
+    from genvc_tpu.dsp.audio_io import load_audio
+
+    src_path = "/root/reference/samples/EF4_ENG_0112_1.wav"
+    ref_path = "/root/reference/samples/EM1_ENG_0037_1.wav"
+    src = load_audio(src_path, pipe.content_sample_rate) if os.path.exists(src_path) else None
+    ref = load_audio(ref_path, pipe.sample_rate) if os.path.exists(ref_path) else None
+    if src is None:
+        rng = np.random.default_rng(0)
+        src = (rng.standard_normal((1, pipe.content_sample_rate * 6)) * 0.1
+               ).astype(np.float32)
+    if ref is None:
+        rng = np.random.default_rng(1)
+        ref = (rng.standard_normal((1, pipe.sample_rate * 4)) * 0.1
+               ).astype(np.float32)
+    return src, ref
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
+        else jnp.float32
+    pipe = build_random_pipeline(dtype)
+
+    t0 = time.perf_counter()
+    pipe.warmup(streaming=True)
+    warmup_s = time.perf_counter() - t0
+
+    src, ref = load_bench_audio(pipe)
+
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    latencies, rtfs, tok_rates = [], [], []
+    for i in range(n_runs):
+        t0 = time.perf_counter()
+        wav, latency, rtf = pipe.synthesize_streaming(src, ref, verbose=False)
+        elapsed = time.perf_counter() - t0
+        n_tokens = (len(wav) + 7 * 1024) // 1024  # approx AR steps incl. held-back tail
+        latencies.append(latency)
+        rtfs.append(rtf)
+        tok_rates.append(n_tokens / elapsed)
+
+    rtf_avg = float(np.mean(rtfs))
+    result = {
+        "metric": "streaming_rtf",
+        "value": round(rtf_avg, 4),
+        "unit": "ratio",
+        "vs_baseline": round(0.28 / rtf_avg, 3),
+        "latency_ms_avg": round(float(np.mean(latencies)) * 1000, 1),
+        "latency_ms_min": round(float(np.min(latencies)) * 1000, 1),
+        "latency_ms_max": round(float(np.max(latencies)) * 1000, 1),
+        "rtf_min": round(float(np.min(rtfs)), 4),
+        "rtf_max": round(float(np.max(rtfs)), 4),
+        "ar_tokens_per_sec": round(float(np.mean(tok_rates)), 1),
+        "warmup_s": round(warmup_s, 1),
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "device": str(jax.devices()[0]),
+        "baseline": {"rtf": 0.28, "latency_ms": 95.2, "hardware": "H100"},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Threaded prefetching batch loader (host).
+
+Replaces the reference's torch DataLoader worker processes (dataset.py:12,
+trainers/*.get_data_loader): wav decode + crop + collate run in a thread pool
+(numpy releases the GIL for IO and resampling), with a bounded prefetch queue
+feeding device_put'ed batches so the accelerator never waits on IO.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+
+
+class BatchLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        rng = random.Random(self.seed + self.epoch)
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng.shuffle(order)
+        batches = []
+        for i in range(0, len(order), self.batch_size):
+            idx = order[i : i + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                continue
+            batches.append(idx)
+        self.epoch += 1
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        lock = threading.Lock()
+        cursor = {"i": 0}
+
+        def worker(wid):
+            wrng = random.Random((self.seed, self.epoch, wid).__hash__())
+            while not stop.is_set():
+                with lock:
+                    i = cursor["i"]
+                    if i >= len(batches):
+                        break
+                    cursor["i"] = i + 1
+                try:
+                    batch = self.dataset.collate(batches[i], wrng)
+                except Exception as e:  # corrupt-batch fault tolerance
+                    batch = e
+                q.put((i, batch))
+            q.put((None, None))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        produced = 0
+        try:
+            while finished < self.num_workers and produced < len(batches):
+                i, batch = q.get()
+                if i is None:
+                    finished += 1
+                    continue
+                if isinstance(batch, Exception):
+                    continue  # skip corrupt batch (reference substitutes)
+                produced += 1
+                yield batch
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=0.1)

@@ -82,7 +82,19 @@ class GenVCPipeline:
         self._cond_chunk = COND_CHUNK_SECONDS * self.sample_rate
         self._prefix_width = self.gpt_cfg.n_cond_latents + TEXT_WIDTH + 2
         self._rng = jax.random.key(self.seed)
+        # benchmarking aid: with random (untrained) weights generation never
+        # hits the stop token; cap new tokens at ratio × content codes to make
+        # compute match a trained checkpoint (audio codes are ~1.875× content
+        # codes: 23.44 Hz vs 12.5 Hz)
+        self.gen_cap_tokens_per_code: float | None = None
         self._build_jits()
+
+    def _max_new(self, n_codes: int) -> int:
+        max_new = self.gpt_cfg.max_gen_mel_tokens
+        if self.gen_cap_tokens_per_code is not None:
+            max_new = min(max_new,
+                          max(8, int(n_codes * self.gen_cap_tokens_per_code)))
+        return max_new
 
     # ------------------------------------------------------------------ jits
 
@@ -218,7 +230,7 @@ class GenVCPipeline:
         toks = [int(tok0[0])]
         lats = [np.asarray(lat0)]
         stop = self.gpt_cfg.stop_audio_token
-        max_new = self.gpt_cfg.max_gen_mel_tokens
+        max_new = self._max_new(n_codes)
         while toks[-1] != stop and len(toks) < max_new:
             state, ctoks, clats, _ = self._decode_chunk_fn(self.gpt_params, state)
             ctoks = np.asarray(ctoks)[0]
@@ -280,7 +292,6 @@ class GenVCPipeline:
         self._cond_latent = self.get_gpt_cond_latents(ref_audio)
         total = src_wav.shape[-1]
         stop = self.gpt_cfg.stop_audio_token
-        max_new = self.gpt_cfg.max_gen_mel_tokens
         pred_audios = []
         wav_overlap = None
         latency = None
@@ -290,6 +301,7 @@ class GenVCPipeline:
             if i + self._seg_len_16k >= total and seg.shape[-1] < self._min_chunk_16k:
                 seg = np.pad(seg, ((0, 0), (0, self._min_chunk_16k - seg.shape[-1])))
             codes, n_codes = self.extract_content_codes(seg)
+            max_new = self._max_new(n_codes)
             state, tok0, lat0 = self._prefill_fn(
                 self.gpt_params, self._cond_latent, codes,
                 jnp.asarray([n_codes], jnp.int32), self._next_rng())

@@ -247,15 +247,214 @@ def discriminator_p_forward(p, x, period: int):
 
 def init_mpd(key, periods=(2, 3, 5, 7, 11), d_mult=1):
     keys = jax.random.split(key, len(periods))
-    return {"discs": [init_discriminator_p(k, d_mult) for k in keys],
-            "periods": list(periods)}
+    return {"discs": [init_discriminator_p(k, d_mult) for k in keys]}
 
 
-def mpd_forward(p, y, y_hat):
+MPD_PERIODS = (2, 3, 5, 7, 11)
+
+
+def mpd_forward(p, y, y_hat, periods=MPD_PERIODS):
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
-    for d, period in zip(p["discs"], p["periods"]):
+    for d, period in zip(p["discs"], periods):
         lr, fr = discriminator_p_forward(d, y, period)
         lg, fg = discriminator_p_forward(d, y_hat, period)
+        logits_r.append(lr); fmap_r.append(fr)
+        logits_g.append(lg); fmap_g.append(fg)
+    return logits_r, logits_g, fmap_r, fmap_g
+
+
+# ---------------------------------------------------------------------------
+# MS-STFT discriminator (reference: layers/hifigan.py:429-619)
+
+
+def get_2d_padding(kernel_size, dilation=(1, 1)):
+    return (((kernel_size[0] - 1) * dilation[0]) // 2,
+            ((kernel_size[1] - 1) * dilation[1]) // 2)
+
+
+def init_conv2d(key, out_c, in_c, kh, kw, weight_normed=False):
+    kw_, kb_ = jax.random.split(key)
+    fan = in_c * kh * kw
+    lim = 1.0 / np.sqrt(fan)
+    p = {"w": jax.random.uniform(kw_, (out_c, in_c, kh, kw), jnp.float32,
+                                 -lim, lim),
+         "b": jax.random.uniform(kb_, (out_c,), jnp.float32, -lim, lim)}
+    if weight_normed:
+        from genvc_tpu.ops.conv import to_weight_norm
+        p = to_weight_norm(p)
+    return p
+
+
+def init_discriminator_stft(key, filters: int, n_fft: int, hop: int,
+                            win: int, dilations=(1, 2, 4), max_filters=1024,
+                            filters_scale=1, kernel=(3, 9), weight_normed=True):
+    ks = iter(jax.random.split(key, 16))
+    convs = [init_conv2d(next(ks), filters, 2, *kernel)]
+    in_chs = min(filters_scale * filters, max_filters)
+    for i, d in enumerate(dilations):
+        out_chs = min((filters_scale ** (i + 1)) * filters, max_filters)
+        convs.append(init_conv2d(next(ks), out_chs, in_chs, *kernel,
+                                 weight_normed=weight_normed))
+        in_chs = out_chs
+    out_chs = min((filters_scale ** (len(dilations) + 1)) * filters, max_filters)
+    convs.append(init_conv2d(next(ks), out_chs, in_chs, kernel[0], kernel[0],
+                             weight_normed=weight_normed))
+    return {
+        "convs": convs,
+        "conv_post": init_conv2d(next(ks), 1, out_chs, kernel[0], kernel[0],
+                                 weight_normed=weight_normed),
+    }
+
+
+def discriminator_stft_forward(p, x, static):
+    """x: (B, 1, T). Normalized complex STFT -> 2-channel image -> conv stack."""
+    from genvc_tpu.dsp import mel as mel_mod
+
+    n_fft, hop, win = static["n_fft"], static["hop"], static["win"]
+    kernel = static["kernel"]
+    dilations = static["dilations"]
+    re, im = mel_mod.stft_complex(x[:, 0, :], n_fft, hop, win)
+    z = jnp.stack([re, im], axis=1)           # (B, 2, F, T)
+    z = jnp.swapaxes(z, 2, 3)                 # (B, 2, T, F)
+    fmap = []
+    pads = [get_2d_padding(kernel)]
+    strides = [(1, 1)]
+    dils = [(1, 1)]
+    for d in dilations:
+        pads.append(get_2d_padding(kernel, (d, 1)))
+        strides.append((1, 2))
+        dils.append((d, 1))
+    pads.append(get_2d_padding((kernel[0], kernel[0])))
+    strides.append((1, 1))
+    dils.append((1, 1))
+    for conv, pad, st, dl in zip(p["convs"], pads, strides, dils):
+        z = conv2d(conv, z, stride=st, padding=pad, dilation=dl)
+        z = leaky_relu(z, 0.2)                # LeakyReLU(0.2) (hifigan.py:464)
+        fmap.append(z)
+    z = conv2d(p["conv_post"], z,
+               padding=get_2d_padding((kernel[0], kernel[0])))
+    return z.reshape(z.shape[0], -1), fmap
+
+
+MSSTFTD_SPECS = tuple(
+    {"n_fft": n, "hop": h, "win": w, "dilations": (1, 2, 4), "kernel": (3, 9)}
+    for n, h, w in zip((1024, 2048, 512), (256, 512, 256), (1024, 2048, 512)))
+
+
+def init_msstftd(key, filters=32):
+    keys = jax.random.split(key, len(MSSTFTD_SPECS))
+    return {"discs": [init_discriminator_stft(k, filters, s["n_fft"],
+                                              s["hop"], s["win"])
+                      for k, s in zip(keys, MSSTFTD_SPECS)]}
+
+
+def msstftd_forward(p, y, y_hat):
+    logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
+    for d, spec in zip(p["discs"], MSSTFTD_SPECS):
+        lr, fr = discriminator_stft_forward(d, y, spec)
+        lg, fg = discriminator_stft_forward(d, y_hat, spec)
+        logits_r.append(lr); fmap_r.append(fr)
+        logits_g.append(lg); fmap_g.append(fg)
+    return logits_r, logits_g, fmap_r, fmap_g
+
+
+# ---------------------------------------------------------------------------
+# MS-SB-CQT discriminator (reference: layers/hifigan.py:623-808)
+
+
+def init_discriminator_cqt(key, filters, max_filters, filters_scale,
+                           dilations, in_channels, out_channels, sample_rate,
+                           hop_length, n_octaves, bins_per_octave):
+    ks = iter(jax.random.split(key, 32))
+    kernel = (3, 9)
+    conv_pres = [init_conv2d(next(ks), in_channels * 2, in_channels * 2,
+                             *kernel) for _ in range(n_octaves)]
+    convs = [init_conv2d(next(ks), filters, in_channels * 2, *kernel)]
+    in_chs = min(filters_scale * filters, max_filters)
+    for i, d in enumerate(dilations):
+        out_chs = min((filters_scale ** (i + 1)) * filters, max_filters)
+        convs.append(init_conv2d(next(ks), out_chs, in_chs, *kernel,
+                                 weight_normed=True))
+        in_chs = out_chs
+    out_chs = min((filters_scale ** (len(dilations) + 1)) * filters,
+                  max_filters)
+    convs.append(init_conv2d(next(ks), out_chs, in_chs, kernel[0], kernel[0],
+                             weight_normed=True))
+    params = {
+        "conv_pres": conv_pres,
+        "convs": convs,
+        "conv_post": init_conv2d(next(ks), out_channels, out_chs, kernel[0],
+                                 kernel[0], weight_normed=True),
+    }
+    static = {"sample_rate": sample_rate, "hop": hop_length,
+              "n_octaves": n_octaves, "bins": bins_per_octave,
+              "dilations": tuple(dilations), "kernel": kernel}
+    return params, static
+
+
+def discriminator_cqt_forward(p, x, static):
+    from genvc_tpu.dsp import cqt as cqt_mod
+    from genvc_tpu.dsp.resample import resample as jresample
+
+    sr = static["sample_rate"]
+    bins = static["bins"]
+    n_oct = static["n_octaves"]
+    kernel = static["kernel"]
+    dilations = static["dilations"]
+
+    xs = jresample(x[:, 0, :], sr, sr * 2)    # reference resamples ×2 first
+    z = cqt_mod.cqt2010(xs, sr * 2, static["hop"], n_oct, bins)
+    # (B, n_oct*bins, T, 2) -> amplitude/phase channel split like reference
+    z = jnp.concatenate([z[..., 0][:, None], z[..., 1][:, None]], axis=1)
+    # (B, 2, n_bins, T) -> (B, 2, T, n_bins)
+    z = jnp.swapaxes(z, 2, 3)
+    latent = []
+    for i in range(n_oct):
+        band = z[..., i * bins : (i + 1) * bins]
+        latent.append(conv2d(p["conv_pres"][i], band,
+                             padding=get_2d_padding(kernel)))
+    z = jnp.concatenate(latent, axis=-1)
+    fmap = []
+    pads = [get_2d_padding(kernel)]
+    strides = [(1, 1)]
+    dils = [(1, 1)]
+    for d in dilations:
+        pads.append(get_2d_padding(kernel, (d, 1)))
+        strides.append((1, 2))
+        dils.append((d, 1))
+    pads.append(get_2d_padding((kernel[0], kernel[0])))
+    strides.append((1, 1))
+    dils.append((1, 1))
+    for conv, pad, st, dl in zip(p["convs"], pads, strides, dils):
+        z = conv2d(conv, z, stride=st, padding=pad, dilation=dl)
+        z = leaky_relu(z, LRELU_SLOPE)
+        fmap.append(z)
+    z = conv2d(p["conv_post"], z,
+               padding=get_2d_padding((kernel[0], kernel[0])))
+    return z.reshape(z.shape[0], -1), fmap
+
+
+def init_mssbcqtd(key, cfg: VocoderConfig):
+    keys = jax.random.split(key, len(cfg.mssbcqtd_hop_lengths))
+    discs, statics = [], []
+    for k, hop, n_oct, bins in zip(keys, cfg.mssbcqtd_hop_lengths,
+                                   cfg.mssbcqtd_n_octavess,
+                                   cfg.mssbcqtd_bins_per_octave):
+        p, s = init_discriminator_cqt(
+            k, cfg.mssbcqtd_filters, cfg.mssbcqtd_max_filters,
+            cfg.mssbcqtd_filters_scale, cfg.mssbcqtd_dilations,
+            cfg.mssbcqtd_in_channels, cfg.mssbcqtd_out_channels,
+            cfg.sample_rate, hop, n_oct, bins)
+        discs.append(p)
+        statics.append(s)
+    return {"discs": discs}, statics
+
+
+def mssbcqtd_forward(p, statics, y, y_hat):
+    logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
+    for d, s in zip(p["discs"], statics):
+        lr, fr = discriminator_cqt_forward(d, y, s)
+        lg, fg = discriminator_cqt_forward(d, y_hat, s)
         logits_r.append(lr); fmap_r.append(fr)
         logits_g.append(lg); fmap_g.append(fg)
     return logits_r, logits_g, fmap_r, fmap_g

@@ -48,7 +48,6 @@ def init_params(key, dim=1024, depth=4, dim_context=80, dim_head=64, heads=8,
         "latents": jax.random.normal(keys[1], (N_LATENTS, dim), jnp.float32) * 0.02,
         "layers": stacked,
         "norm": {"gamma": jnp.ones((dim,), jnp.float32)},
-        "_meta": {"heads": np.int32(heads), "dim_head": np.int32(dim_head)},
     }
 
 

@@ -1,0 +1,299 @@
+"""Stage runners: wire datasets, jitted steps, mesh sharding, and the loop.
+
+Each ``run_*_training`` mirrors one reference entry script
+(train_audio_dvae.py / train_content_dvae.py / train_genVC.py /
+train_vocoder.py) end to end: build frozen modules from checkpoints, init
+trainable params, data-parallel over the device mesh, fit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genvc_tpu import checkpoint as ckpt_lib
+from genvc_tpu.config import GenVCConfig, VAEConfig
+from genvc_tpu.data.dataset import (VCDatasetConfig, VCWaveDataset,
+                                    WaveformDVAEDataset)
+from genvc_tpu.data.loader import BatchLoader
+from genvc_tpu.models import contentvec, dvae, gpt as gpt_model, hifigan
+from genvc_tpu.parallel import mesh as mesh_lib
+from genvc_tpu.train import (gpt_stage, loop, optim, vae_stage, vocoder_stage)
+
+
+def _load_mel_norms(path):
+    if path and os.path.exists(str(path)):
+        if str(path).endswith(".npy"):
+            return jnp.asarray(np.load(path))
+        import torch
+
+        return jnp.asarray(torch.load(path, map_location="cpu",
+                                      weights_only=True).numpy())
+    return jnp.ones((80,), jnp.float32)
+
+
+def _load_contentvec(path):
+    """Load a fairseq ContentVec/HuBERT checkpoint into our pytree."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    sd = {k: v for k, v in sd.items() if hasattr(v, "numpy")}
+    n = max(int(k.split(".")[2]) for k in sd
+            if k.startswith("encoder.layers.")) + 1
+    return jax.tree.map(jnp.asarray, ckpt_lib.convert_contentvec(sd, n_layers=n))
+
+
+def _load_dvae(path, name="dvae"):
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt and "config" in ckpt:
+        sd = ckpt_lib.strip_prefix(ckpt["model"], name + ".")
+    else:
+        sd = ckpt.get("model", ckpt)
+    return jax.tree.map(jnp.asarray, ckpt_lib.convert_dvae(sd))
+
+
+def _data_mesh():
+    return mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
+
+
+def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
+    mesh = _data_mesh()
+    logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
+                         cfg.output_path)
+    logger.print(f"devices: {jax.devices()}")
+
+    mel_norms = _load_mel_norms(cfg.mel_norm_file)
+    cv_params = None
+    if cfg.feat_type != "Mel-spectrogram":
+        cv_params = _load_contentvec(cfg.contentvec_model_path)
+    feat_fn = vae_stage.make_feature_fn(cfg, mel_norms, cv_params)
+
+    dcfg = vae_stage.dvae_cfg_from(cfg)
+    params = dvae.init_params(jax.random.key(1994), dcfg)
+    if cfg.vae_checkpoint:
+        params = _load_dvae(cfg.vae_checkpoint)
+    tx = vae_stage.make_optimizer(cfg)
+    state = vae_stage.VAETrainState(params, tx.init(params), jnp.int32(0))
+    train_step, eval_step = vae_stage.make_train_step(cfg, feat_fn, tx)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval = jax.jit(lambda s, b: eval_step(s.params, b))
+
+    train_ds = WaveformDVAEDataset(cfg.train_metafile, False,
+                                   cfg.audio.dvae_sample_rate, cfg.max_wav_len)
+    eval_ds = WaveformDVAEDataset(cfg.test_metafile, True,
+                                  cfg.audio.dvae_sample_rate, cfg.max_wav_len)
+    train_loader = BatchLoader(train_ds, cfg.batch_size,
+                               num_workers=cfg.num_loader_workers)
+    eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
+                              num_workers=cfg.num_loader_workers)
+
+    ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
+                                  cfg.save_n_checkpoints)
+    restored, step0 = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        logger.print(f"resumed from step {step0}")
+
+    to_dev = lambda b: mesh_lib.shard_batch(
+        jax.tree.map(jnp.asarray, b), mesh)
+    state = loop.fit(state, jit_train, train_loader, epochs=cfg.epochs,
+                     logger=logger, eval_step=jit_eval,
+                     eval_loader=eval_loader, ckpt=ckpt,
+                     save_step=cfg.save_step, to_device=to_dev,
+                     start_step=int(step0 or 0))
+    return state
+
+
+def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
+    mesh = _data_mesh()
+    logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
+                         cfg.output_path)
+    logger.print(f"devices: {jax.devices()}")
+
+    mel_norms = _load_mel_norms(cfg.model_args.mel_norm_file)
+    frozen_tree = {
+        "contentvec": _load_contentvec(cfg.contentvec_model_path),
+        "acoustic_dvae": _load_dvae(cfg.acoustic_dvae_checkpoint),
+        "content_dvae": _load_dvae(cfg.content_dvae_checkpoint),
+    }
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, mel_norms)
+
+    ma = cfg.model_args
+    gcfg = gpt_model.GPTConfig(
+        layers=ma.gpt_layers, model_dim=ma.gpt_n_model_channels,
+        heads=ma.gpt_n_heads, max_text_tokens=ma.gpt_max_text_tokens,
+        max_mel_tokens=ma.gpt_max_audio_tokens,
+        number_text_tokens=ma.gpt_number_text_tokens or 258,
+        num_audio_tokens=ma.gpt_num_audio_tokens,
+        start_text_token=ma.gpt_start_text_token or 256,
+        stop_text_token=ma.gpt_stop_text_token or 257,
+        code_stride_len=ma.gpt_code_stride_len)
+    params = gpt_model.init_params(jax.random.key(cfg.training_seed), gcfg)
+    if ma.gpt_checkpoint:
+        sd, _ = ckpt_lib.load_torch_bundle(ma.gpt_checkpoint)
+        params = jax.tree.map(jnp.asarray, ckpt_lib.convert_gpt(
+            ckpt_lib.strip_prefix(sd, "gpt."), gcfg.layers))
+
+    # MultiStepLR on epoch milestones -> step milestones
+    # (reference: lr_scheduler_params milestones [10,25,35,50] gamma 0.5)
+    lsp = cfg.lr_scheduler_params or {}
+    milestones_epochs = lsp.get("milestones", [10, 25, 35, 50])
+    gamma = lsp.get("gamma", 0.5)
+    steps_per_epoch = max_steps or 1000  # refined below once dataset is known
+
+    train_ds = VCWaveDataset(VCDatasetConfig(
+        meta_file=cfg.train_metafile, sample_rate=cfg.audio.sample_rate,
+        text_frame_rate=cfg.text_frame_rate,
+        min_text_len=ma.min_text_length, max_text_len=ma.max_text_length,
+        min_conditioning_length=ma.min_conditioning_length,
+        max_conditioning_length=ma.max_conditioning_length,
+        use_masking_gt_prompt_approach=ma.gpt_use_masking_gt_prompt_approach))
+    eval_ds = VCWaveDataset(VCDatasetConfig(
+        meta_file=cfg.test_metafile, sample_rate=cfg.audio.sample_rate,
+        text_frame_rate=cfg.text_frame_rate,
+        min_text_len=ma.min_text_length, max_text_len=ma.max_text_length,
+        min_conditioning_length=ma.min_conditioning_length,
+        max_conditioning_length=ma.max_conditioning_length,
+        use_masking_gt_prompt_approach=ma.gpt_use_masking_gt_prompt_approach,
+        is_eval=True))
+    train_loader = BatchLoader(train_ds, cfg.batch_size,
+                               num_workers=cfg.num_loader_workers)
+    eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
+                              num_workers=cfg.num_loader_workers)
+    steps_per_epoch = len(train_loader)
+    sched = optim.multistep_schedule(
+        cfg.lr if isinstance(cfg.lr, float) else cfg.lr[0],
+        [m * steps_per_epoch for m in milestones_epochs], gamma)
+    op = cfg.optimizer_params or {"betas": [0.9, 0.96], "eps": 1e-8,
+                                  "weight_decay": 1e-6}
+    tx = optim.adamw_grouped(sched, betas=tuple(op["betas"]), eps=op["eps"],
+                             weight_decay=op["weight_decay"],
+                             max_grad_norm=cfg.max_grad_norm, params=params)
+    state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
+
+    train_step, eval_step = gpt_stage.make_train_step(
+        gcfg, frozen, tx,
+        text_ce_weight=ma.gpt_loss_text_ce_weight,
+        mel_ce_weight=ma.gpt_loss_mel_ce_weight,
+        fix_condition_embeddings=ma.gpt_fix_condition_embeddings)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval = jax.jit(lambda s, b: eval_step(s.params, b))
+
+    ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
+                                  cfg.save_n_checkpoints)
+    restored, step0 = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        logger.print(f"resumed from step {step0}")
+
+    to_dev = lambda b: mesh_lib.shard_batch(jax.tree.map(jnp.asarray, b), mesh)
+    state = loop.fit(state, jit_train, train_loader, epochs=cfg.epochs,
+                     logger=logger, eval_step=jit_eval,
+                     eval_loader=eval_loader, ckpt=ckpt,
+                     save_step=cfg.save_step, print_step=cfg.print_step,
+                     to_device=to_dev, start_step=int(step0 or 0))
+    return state
+
+
+def run_vocoder_training(cfg: GenVCConfig):
+    mesh = _data_mesh()
+    logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
+                         cfg.output_path)
+    logger.print(f"devices: {jax.devices()}")
+
+    mel_norms = _load_mel_norms(cfg.model_args.mel_norm_file)
+    frozen_tree = {
+        "contentvec": _load_contentvec(cfg.contentvec_model_path),
+        "acoustic_dvae": _load_dvae(cfg.acoustic_dvae_checkpoint),
+        "content_dvae": _load_dvae(cfg.content_dvae_checkpoint),
+    }
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, mel_norms)
+
+    ma = cfg.model_args
+    gcfg = gpt_model.GPTConfig(
+        layers=ma.gpt_layers, model_dim=ma.gpt_n_model_channels,
+        heads=ma.gpt_n_heads, max_text_tokens=ma.gpt_max_text_tokens,
+        max_mel_tokens=ma.gpt_max_audio_tokens,
+        number_text_tokens=ma.gpt_number_text_tokens or 258,
+        num_audio_tokens=ma.gpt_num_audio_tokens,
+        start_text_token=ma.gpt_start_text_token or 256,
+        stop_text_token=ma.gpt_stop_text_token or 257,
+        code_stride_len=ma.gpt_code_stride_len)
+    assert ma.gpt_checkpoint, "vocoder stage needs a frozen GPT checkpoint"
+    sd, _ = ckpt_lib.load_torch_bundle(ma.gpt_checkpoint)
+    gpt_params = jax.tree.map(jnp.asarray, ckpt_lib.convert_gpt(
+        ckpt_lib.strip_prefix(sd, "gpt."), gcfg.layers))
+
+    key = jax.random.key(cfg.training_seed)
+    kg, kd = jax.random.split(key)
+    gen_params = hifigan.init_generator(kg, cfg.vocoder_config,
+                                        weight_normed=True)
+    if ma.hifigan_checkpoint:
+        hsd, _ = ckpt_lib.load_torch_bundle(ma.hifigan_checkpoint)
+        gen_params = jax.tree.map(jnp.asarray, ckpt_lib.convert_hifigan(
+            ckpt_lib.strip_prefix(hsd, "hifigan."), fold=False))
+    disc_params, cqt_statics = vocoder_stage.init_discriminators(
+        kd, cfg.vocoder_config)
+
+    import optax
+
+    op = cfg.optimizer_params or {"betas": [0.8, 0.99], "eps": 1e-8,
+                                  "weight_decay": 1e-6}
+    lr = cfg.lr if isinstance(cfg.lr, float) else cfg.lr[0]
+
+    def make_tx():
+        return optax.adamw(lr, b1=op["betas"][0], b2=op["betas"][1],
+                           eps=op.get("eps", 1e-8),
+                           weight_decay=0.0)  # reference AdamW without wd arg
+
+    gen_tx, disc_tx = make_tx(), make_tx()
+    state = vocoder_stage.VocoderTrainState(
+        gen_params, disc_params, gen_tx.init(gen_params),
+        disc_tx.init(disc_params), jnp.int32(0))
+    scale = int(ma.gpt_code_stride_len // cfg.vocoder_config.hop_length)
+    train_step, eval_step = vocoder_stage.make_train_step(
+        frozen, gpt_params, gcfg, cfg.vocoder_config, cqt_statics,
+        gen_tx, disc_tx, scale_factor=scale)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval = jax.jit(eval_step)
+
+    train_ds = VCWaveDataset(VCDatasetConfig(
+        meta_file=cfg.train_metafile, sample_rate=cfg.audio.sample_rate,
+        text_frame_rate=cfg.text_frame_rate,
+        min_text_len=ma.min_text_length, max_text_len=ma.max_text_length,
+        min_conditioning_length=ma.min_conditioning_length,
+        max_conditioning_length=ma.max_conditioning_length,
+        use_masking_gt_prompt_approach=ma.gpt_use_masking_gt_prompt_approach))
+    eval_ds = VCWaveDataset(VCDatasetConfig(
+        meta_file=cfg.test_metafile, sample_rate=cfg.audio.sample_rate,
+        text_frame_rate=cfg.text_frame_rate,
+        min_text_len=ma.min_text_length, max_text_len=ma.max_text_length,
+        min_conditioning_length=ma.min_conditioning_length,
+        max_conditioning_length=ma.max_conditioning_length,
+        use_masking_gt_prompt_approach=ma.gpt_use_masking_gt_prompt_approach,
+        is_eval=True))
+    train_loader = BatchLoader(train_ds, cfg.batch_size,
+                               num_workers=cfg.num_loader_workers)
+    eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
+                              num_workers=cfg.num_loader_workers)
+
+    ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
+                                  cfg.save_n_checkpoints)
+    restored, step0 = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        logger.print(f"resumed from step {step0}")
+
+    to_dev = lambda b: mesh_lib.shard_batch(jax.tree.map(jnp.asarray, b), mesh)
+    state = loop.fit(state, jit_train, train_loader, epochs=cfg.epochs,
+                     logger=logger, eval_step=jit_eval,
+                     eval_loader=eval_loader, ckpt=ckpt,
+                     save_step=cfg.save_step, print_step=cfg.print_step,
+                     to_device=to_dev, start_step=int(step0 or 0))
+    return state

@@ -1,0 +1,160 @@
+"""Vocoder (HiFi-GAN) GAN training stage.
+
+Mirrors the reference HiFiGANTrainer (trainers/hifigan_trainer.py): the frozen
+GPT produces per-code latents under no-grad (``format_batch_on_device``
+:268-344, incl. the ``wav_lengths += stride//2`` fudge :318 and wav
+trim/pad to ``code_len × 1024`` :332-334); then a manual two-optimizer step —
+discriminator AdamW update on detached predictions, generator AdamW update
+with feature-matching + LSGAN + mel×45 losses (:194-262).
+
+TPU design: both updates live in ONE jitted ``train_step`` — the discriminator
+grads use ``stop_gradient`` on the generator output, so a single compiled
+program does disc-step → gen-step back to back (one launch per batch).
+Generator weights stay in the torch weight-norm (g, v) parametrization so
+gradients match the reference's reparametrized updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from genvc_tpu.config import GenVCConfig, VocoderConfig
+from genvc_tpu.models import gpt as gpt_model, hifigan
+from genvc_tpu.ops.conv import linear_interp_x4
+from genvc_tpu.train import losses
+from genvc_tpu.train.gpt_stage import FrozenModules, prepare_features
+
+
+class VocoderTrainState(NamedTuple):
+    gen_params: dict
+    disc_params: dict
+    gen_opt: optax.OptState
+    disc_opt: optax.OptState
+    step: jnp.ndarray
+
+
+def init_discriminators(key, cfg: VocoderConfig):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mssbcqtd_params, cqt_statics = hifigan.init_mssbcqtd(k4, cfg)
+    params = {
+        "msd": hifigan.init_msd(k1),
+        "mpd": hifigan.init_mpd(k2, periods=tuple(cfg.mpd_reshapes),
+                                d_mult=cfg.mpd_discriminator_channel_mult_factor),
+        "msstftd": hifigan.init_msstftd(k3, filters=cfg.msstftd_filters),
+        "mssbcqtd": mssbcqtd_params,
+    }
+    return params, cqt_statics
+
+
+def run_discriminators(disc_params, cqt_statics, cfg: VocoderConfig, y, y_hat):
+    """Returns dict name -> (logits_r, logits_g, fmap_r, fmap_g)."""
+    return {
+        "MSD_Discriminator": hifigan.msd_forward(disc_params["msd"], y, y_hat),
+        "MPD_Discriminator": hifigan.mpd_forward(
+            disc_params["mpd"], y, y_hat, periods=tuple(cfg.mpd_reshapes)),
+        "MSTFT_Discriminator": hifigan.msstftd_forward(
+            disc_params["msstftd"], y, y_hat),
+        "MSCQT_Discriminator": hifigan.mssbcqtd_forward(
+            disc_params["mssbcqtd"], cqt_statics, y, y_hat),
+    }
+
+
+def prepare_vocoder_batch(frozen: FrozenModules, gpt_params,
+                          gcfg: gpt_model.GPTConfig, batch: dict):
+    """format_batch_on_device equivalent for the vocoder stage
+    (hifigan_trainer.py:268-344). Returns (mel_latents, wav_gt, n_codes)."""
+    feats = prepare_features(frozen, batch)
+    # wav_lengths fudge (+ stride // 2, hifigan_trainer.py:318)
+    wav_lengths = feats["wav_lengths"] + gcfg.code_stride_len // 2
+    latents = gpt_model.forward_train(
+        gpt_params, gcfg,
+        feats["text_inputs"], feats["text_lengths"],
+        feats["audio_codes"], wav_lengths,
+        cond_mels=feats["cond_mels"], cond_lens=feats["cond_lens"],
+        return_latent=True, train=True)
+    audio_code_len = feats["audio_codes"].shape[1] - 4  # pre-pad width
+    wav_expected = audio_code_len * gcfg.code_stride_len
+    wav = batch["wav"][:, 0, :]
+    t = wav.shape[-1]
+    if t < wav_expected:
+        wav = jnp.pad(wav, ((0, 0), (0, wav_expected - t)))
+    wav = wav[:, :wav_expected]
+    # latents cover the first audio_code_len positions (trim -1 in train mode
+    # leaves width wm+1; slice to the code count like the reference width)
+    latents = latents[:, :audio_code_len]
+    return latents, wav[:, None, :]
+
+
+def make_train_step(frozen: FrozenModules, gpt_params,
+                    gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
+                    cqt_statics, gen_tx, disc_tx, scale_factor: int = 4):
+    def render(gen_params, latents):
+        x = jnp.swapaxes(latents, 1, 2)
+        x = linear_interp_x4(x, scale_factor)
+        return hifigan.generator_forward(gen_params, x, voc_cfg)
+
+    def disc_loss_fn(disc_params, y, y_hat):
+        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat)
+        total = 0.0
+        per = {}
+        for name, (lr, lg, _, _) in outs.items():
+            l = losses.discriminator_loss(lr, lg)
+            per[f"{name}_loss"] = l
+            total = total + l
+        return total, per
+
+    def gen_loss_fn(gen_params, disc_params, latents, y):
+        y_hat = render(gen_params, latents)
+        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat)
+        total = 0.0
+        per = {}
+        for name, (lr, lg, fr, fg) in outs.items():
+            fl = losses.feature_loss(fr, fg)
+            gl = losses.generator_adv_loss(lg)
+            per[f"{name}_featureLoss"] = fl
+            per[f"{name}_generatorLoss"] = gl
+            total = total + fl + gl
+        ml = losses.mel_loss(y[:, 0, :], y_hat[:, 0, :], voc_cfg)
+        per["mel"] = ml
+        total = total + ml
+        return total, (per, y_hat)
+
+    def train_step(state: VocoderTrainState, batch: dict):
+        latents, wav_gt = jax.lax.stop_gradient(
+            prepare_vocoder_batch(frozen, gpt_params, gcfg, batch))
+
+        # 1) discriminator step on detached prediction
+        y_hat_detached = jax.lax.stop_gradient(render(state.gen_params, latents))
+        (d_loss, d_per), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            state.disc_params, wav_gt, y_hat_detached)
+        d_updates, disc_opt = disc_tx.update(d_grads, state.disc_opt,
+                                             state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # 2) generator step against the *updated* discriminator (the reference
+        # steps the discriminator first, then re-runs it for the generator)
+        (g_loss, (g_per, _)), g_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen_params, disc_params, latents,
+                                       wav_gt)
+        g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt,
+                                           state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        metrics = {"loss_disc": d_loss, "loss_gen": g_loss,
+                   "mel_loss": g_per["mel"]}
+        return VocoderTrainState(gen_params, disc_params, gen_opt, disc_opt,
+                                 state.step + 1), metrics
+
+    def eval_step(state: VocoderTrainState, batch: dict):
+        latents, wav_gt = prepare_vocoder_batch(frozen, gpt_params, gcfg, batch)
+        y_hat = render(state.gen_params, latents)
+        d_loss, _ = disc_loss_fn(state.disc_params, wav_gt, y_hat)
+        ml = losses.mel_loss(wav_gt[:, 0, :], y_hat[:, 0, :], voc_cfg)
+        return {"loss_disc": d_loss, "mel_loss": ml}
+
+    return train_step, eval_step

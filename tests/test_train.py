@@ -1,0 +1,159 @@
+"""Training-stage smoke + correctness tests (tiny dims, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genvc_tpu.config import GenVCConfig, VAEConfig, VocoderConfig
+from genvc_tpu.models import contentvec, dvae, gpt as gpt_model, hifigan
+from genvc_tpu.train import gpt_stage, losses, optim, vae_stage, vocoder_stage
+
+
+def small_voc_cfg():
+    return VocoderConfig(input_feat_dim=32, upsample_initial_channel=16,
+                         msstftd_filters=4, mssbcqtd_filters=4,
+                         mssbcqtd_hop_lengths=[512], mssbcqtd_n_octavess=[5],
+                         mssbcqtd_bins_per_octave=[12])
+
+
+def test_weight_decay_mask():
+    cfg = gpt_model.GPTConfig(layers=2, model_dim=32, heads=4)
+    params = gpt_model.init_params(jax.random.key(0), cfg)
+    mask = optim.weight_decay_mask(params)
+    assert mask["text_embedding"] is False
+    assert mask["mel_pos"] is False
+    assert mask["core"]["blocks"]["attn"]["c_attn"]["w"] is True
+    assert mask["core"]["blocks"]["attn"]["c_attn"]["b"] is False
+    assert mask["core"]["blocks"]["ln_1"]["scale"] is False
+    assert mask["final_norm"]["bias"] is False
+    assert mask["perceiver"]["latents"] is True  # torch rule: raw Parameter
+
+
+def test_multistep_schedule():
+    sched = optim.multistep_schedule(1e-4, [100, 200], 0.5)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(150)) == pytest.approx(5e-5)
+    assert float(sched(250)) == pytest.approx(2.5e-5)
+
+
+def test_vae_train_step_runs_and_improves():
+    cfg = VAEConfig(num_channels=13, num_tokens=32, codebook_dim=16,
+                    hidden_dim=8, num_resnet_blocks=1, num_layers=2,
+                    grad_clip_norm=0.5, lr=1e-3)
+    mel_norms = jnp.ones((13,))
+    # bypass the mel: feed raw features via an identity feature fn
+    feat_fn = lambda wav: wav[:, :, : wav.shape[-1] - wav.shape[-1] % 4]
+    tx = vae_stage.make_optimizer(cfg)
+    dcfg = vae_stage.dvae_cfg_from(cfg)
+    params = dvae.init_params(jax.random.key(0), dcfg)
+    state = vae_stage.VAETrainState(params, tx.init(params), jnp.int32(0))
+    train_step, eval_step = vae_stage.make_train_step(cfg, feat_fn, tx)
+    step = jax.jit(train_step)
+    rng = np.random.default_rng(0)
+    batch = {"wav": jnp.asarray(rng.standard_normal((4, 13, 64)), jnp.float32)}
+    losses_seq = []
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses_seq.append(float(m["recon_loss"]))
+    assert losses_seq[-1] < losses_seq[0]  # learning on a fixed batch
+    em = eval_step(state.params, batch)
+    assert np.isfinite(float(em["loss"]))
+
+
+def test_discriminator_shapes():
+    key = jax.random.key(0)
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 1, 4096)) * 0.1, jnp.float32)
+    yh = jnp.asarray(rng.standard_normal((2, 1, 4096)) * 0.1, jnp.float32)
+
+    msd = hifigan.init_msd(key)
+    lr, lg, fr, fg = hifigan.msd_forward(msd, y, yh)
+    assert len(lr) == 3 and len(fr[0]) == 8
+
+    mpd = hifigan.init_mpd(key, periods=(2, 3))
+    lr, lg, fr, fg = hifigan.mpd_forward(mpd, y, yh)
+    assert len(lr) == 2 and len(fr[0]) == 6
+
+    stft = hifigan.init_msstftd(key, filters=4)
+    lr, lg, fr, fg = hifigan.msstftd_forward(stft, y, yh)
+    assert len(lr) == 3 and len(fr[0]) == 5
+
+    cfg = small_voc_cfg()
+    cqt, statics = hifigan.init_mssbcqtd(key, cfg)
+    y2 = jnp.asarray(rng.standard_normal((1, 1, 8192)) * 0.1, jnp.float32)
+    lr, lg, fr, fg = hifigan.mssbcqtd_forward(cqt, statics, y2, y2)
+    assert len(lr) == 1
+    np.testing.assert_allclose(np.asarray(lr[0]), np.asarray(lg[0]))
+
+
+def test_gan_losses():
+    r = [jnp.ones((2, 10)), jnp.ones((2, 5))]
+    g = [jnp.zeros((2, 10)), jnp.zeros((2, 5))]
+    d = losses.discriminator_loss(r, g)  # (1-1)^2 + 0^2 = 0 per scale
+    assert float(d) == pytest.approx(0.0)
+    adv = losses.generator_adv_loss(g)  # (1-0)^2 = 1 per scale
+    assert float(adv) == pytest.approx(2.0)
+    fm = losses.feature_loss([[jnp.ones((2, 3))]], [[jnp.zeros((2, 3))]])
+    assert float(fm) == pytest.approx(2.0)
+
+
+def test_vocoder_train_step_smoke():
+    import optax
+
+    cfg = GenVCConfig()
+    cfg.vocoder_config = small_voc_cfg()
+    gcfg = gpt_model.GPTConfig(layers=1, model_dim=32, heads=4,
+                               number_text_tokens=40, num_audio_tokens=50,
+                               start_text_token=36, stop_text_token=37,
+                               start_audio_token=48, stop_audio_token=49)
+    cfg.acoustic_dvae_config.num_channels = 80
+    cfg.acoustic_dvae_config.num_tokens = 48
+    cfg.acoustic_dvae_config.hidden_dim = 8
+    cfg.acoustic_dvae_config.codebook_dim = 16
+    cfg.content_dvae_config.num_channels = 256
+    cfg.content_dvae_config.num_tokens = 36
+    cfg.content_dvae_config.hidden_dim = 8
+    cfg.content_dvae_config.codebook_dim = 16
+
+    frozen_tree = {
+        "contentvec": contentvec.init_params(jax.random.key(1), n_layers=1),
+        "acoustic_dvae": dvae.init_params(jax.random.key(2), dvae.DVAEConfig(
+            channels=80, num_tokens=48, codebook_dim=16, hidden_dim=8)),
+        "content_dvae": dvae.init_params(jax.random.key(3), dvae.DVAEConfig(
+            channels=256, num_tokens=36, codebook_dim=16, hidden_dim=8)),
+    }
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, np.ones(80, np.float32))
+    gpt_params = gpt_model.init_params(jax.random.key(0), gcfg)
+    gen_params = hifigan.init_generator(jax.random.key(4), cfg.vocoder_config,
+                                        weight_normed=True)
+    disc_params, cqt_statics = vocoder_stage.init_discriminators(
+        jax.random.key(5), cfg.vocoder_config)
+    gen_tx = optax.adamw(2e-4)
+    disc_tx = optax.adamw(2e-4)
+    state = vocoder_stage.VocoderTrainState(
+        gen_params, disc_params, gen_tx.init(gen_params),
+        disc_tx.init(disc_params), jnp.int32(0))
+    train_step, eval_step = vocoder_stage.make_train_step(
+        frozen, gpt_params, gcfg, cfg.vocoder_config, cqt_statics,
+        gen_tx, disc_tx)
+
+    rng = np.random.default_rng(0)
+    t_wav = 8 * 1920  # 8-token segments like the reference vocoder stage
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal((2, 1, t_wav)) * 0.1, jnp.float32),
+        "wav_lengths": jnp.full((2,), t_wav, jnp.int32),
+        "conditioning": jnp.asarray(rng.standard_normal((2, 1, 1, 24000)) * 0.1,
+                                    jnp.float32),
+        "cond_lens": jnp.full((2,), 24000, jnp.int32),
+        "text_lengths": jnp.full((2,), t_wav // 1920, jnp.int32),
+    }
+    new_state, metrics = jax.jit(train_step)(state, batch)
+    for k in ("loss_disc", "loss_gen", "mel_loss"):
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    # params actually moved
+    delta = jax.tree.reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+        jax.tree.map(lambda a, b: a - b, new_state.gen_params, gen_params), 0.0)
+    assert delta > 0

@@ -1,0 +1,42 @@
+"""Train the content (ContentVec-feature) discrete VAE — stage 2
+(reference: train_content_dvae.py; hyperparameters mirrored exactly)."""
+
+import argparse
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_metafile", default="metafiles/libritts/train.txt")
+    ap.add_argument("--test_metafile", default="metafiles/libritts/test.txt")
+    ap.add_argument("--contentvec_model_path",
+                    default="pre_trained/contentVec.pt")
+    ap.add_argument("--output_path", default="exp/content_dvae")
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--use_wandb", action="store_true")
+    ap.add_argument("--num_workers", type=int, default=16)
+    args = ap.parse_args()
+
+    from genvc_tpu.config import AudioConfig, VAEConfig
+    from genvc_tpu.train.runner import run_vae_training
+
+    audio = AudioConfig(dvae_sample_rate=16000, sample_rate=16000)
+    cfg = VAEConfig(
+        audio=audio, feat_type="ContentVec",
+        contentvec_model_path=args.contentvec_model_path, warmup_steps=1000,
+        batch_size=args.batch_size, eval_batch_size=16, lr=args.lr,
+        num_loader_workers=args.num_workers, max_wav_len=16000 * 6,
+        train_metafile=args.train_metafile, test_metafile=args.test_metafile,
+        epochs=args.epochs, grad_clip_norm=0.5, output_path=args.output_path,
+        use_wandb=args.use_wandb, wandb_project="content_dvae",
+        wandb_run_name="libritts", save_n_checkpoints=2, save_step=2000,
+        num_channels=256, num_tokens=256, codebook_dim=512, hidden_dim=512,
+        num_resnet_blocks=3, kernel_size=3, num_layers=2)
+    run_vae_training(cfg)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
