@@ -242,3 +242,37 @@ def decode_chunk(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     latents = jnp.swapaxes(latents, 0, 1)
     pre_finished = jnp.swapaxes(pre_finished, 0, 1)
     return state, tokens, latents, pre_finished
+
+
+def decode_all(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+               sampler: SamplerConfig, max_new: int):
+    """Generate until every row is finished or ``max_new`` tokens, entirely on
+    device (one dispatch): ``lax.while_loop`` over single-token steps writing
+    into a preallocated token buffer. The buffer includes the prefill token at
+    slot 0 (``state.last_token`` on entry).
+
+    Returns (state, tokens (B, max_new), n_generated (B,)) where tokens beyond
+    each row's stop token are stop-padded.
+    """
+    b = state.last_token.shape[0]
+    buf = jnp.full((b, max_new), cfg.stop_audio_token, jnp.int32)
+    buf = buf.at[:, 0].set(state.last_token)
+
+    def cond(carry):
+        st, _ = carry
+        return (st.n_generated < max_new) & ~jnp.all(st.finished)
+
+    def body(carry):
+        st, buf = carry
+        new_st, tok, _ = _decode_one(params, cfg, st, sampler)
+        buf = jax.lax.dynamic_update_slice(buf, tok[:, None],
+                                           (0, st.n_generated))
+        return new_st, buf
+
+    state, buf = jax.lax.while_loop(cond, body, (state, buf))
+    # per-row generated count = index of first stop + 1, capped at max_new
+    is_stop = buf == cfg.stop_audio_token
+    first_stop = jnp.argmax(is_stop, axis=1)
+    has_stop = jnp.any(is_stop, axis=1)
+    n_gen = jnp.where(has_stop, first_stop + 1, max_new)
+    return state, buf, n_gen

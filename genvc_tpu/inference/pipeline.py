@@ -92,8 +92,9 @@ class GenVCPipeline:
     def _max_new(self, n_codes: int) -> int:
         max_new = self.gpt_cfg.max_gen_mel_tokens
         if self.gen_cap_tokens_per_code is not None:
-            max_new = min(max_new,
-                          max(8, int(n_codes * self.gen_cap_tokens_per_code)))
+            cap = max(8, int(n_codes * self.gen_cap_tokens_per_code))
+            cap = int(np.ceil(cap / 16) * 16)  # bound decode_all recompiles
+            max_new = min(max_new, cap)
         return max_new
 
     # ------------------------------------------------------------------ jits
@@ -171,6 +172,39 @@ class GenVCPipeline:
                 cond_latents=cond_latents, return_latent=True, train=False)
             return lat
 
+        # ---- fused low-sync-count paths -----------------------------------
+        # the hot streaming loop runs at most ONE host<->device round trip per
+        # emitted chunk: content extraction + prefill fuse into one dispatch,
+        # and each chunk's [k decode steps -> x4 interp -> vocoder] is a single
+        # dispatch whose outputs are double-buffered by the host driver.
+
+        @jax.jit
+        def segment_prefill_fn(cv_params, cd_params, gpt_params, hifi_params,
+                               cond_latents, wav16k, sample_valid, rng):
+            codes, n_codes = content_fn(cv_params, cd_params, wav16k,
+                                        sample_valid)
+            codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
+            state, tok0, lat0 = prefill_fn(gpt_params, cond_latents, codes,
+                                           n_codes.astype(jnp.int32), rng)
+            return state, tok0, lat0, n_codes, codes
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def stream_chunk_fn(gpt_params, hifi_params, state, k, carry_latents):
+            st, toks, lats, pre_fin = engine.decode_chunk(
+                gpt_params, gcfg, state, sampler, chunk=k)
+            all_lats = jnp.concatenate([carry_latents, lats], axis=1)
+            x = jnp.swapaxes(all_lats, 1, 2)
+            x = linear_interp_x4(x, self.hifigan_scale_factor)
+            wav = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
+            return st, toks, all_lats, pre_fin, wav
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def decode_all_fn(gpt_params, state, max_new):
+            return engine.decode_all(gpt_params, gcfg, state, sampler, max_new)
+
+        self._segment_prefill_fn = segment_prefill_fn
+        self._stream_chunk_fn = stream_chunk_fn
+        self._decode_all_fn = decode_all_fn
         self._cond_latent_fn = cond_latent_fn
         self._content_fn = content_fn
         self._prefill_fn = prefill_fn
@@ -220,27 +254,36 @@ class GenVCPipeline:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _segments(self, src_wav: np.ndarray):
+        """Split the source into 6 s segments, final one padded to >= 0.32 s
+        (reference inference_utils.py:43-50); yields (padded_seg, true_len)."""
+        total = src_wav.shape[-1]
+        for i in range(0, total, self._seg_len_16k):
+            seg = src_wav[:, i : i + self._seg_len_16k]
+            t_real = seg.shape[-1]
+            if t_real < self._min_chunk_16k:
+                t_real = self._min_chunk_16k
+            padded = np.pad(seg, ((0, 0), (0, self._seg_len_16k - seg.shape[-1])))
+            yield padded, t_real
+
+    def _start_segment(self, seg_padded: np.ndarray, t_real: int):
+        return self._segment_prefill_fn(
+            self.contentvec_params, self.content_dvae_params, self.gpt_params,
+            self.hifigan_params, self._cond_latent, jnp.asarray(seg_padded),
+            jnp.asarray([t_real], jnp.int32), self._next_rng())
+
     def generate_segment_codes(self, codes, n_codes: int):
-        """Run AR generation for one segment; returns (gen_codes list[int],
-        latents (n, D) np.ndarray) — latents aligned as the stream generator
-        yields them (position hidden that produced each token)."""
+        """AR generation for one segment via the single-dispatch on-device
+        while_loop; returns (list of generated tokens incl. the stop token,
+        None). Kept for API parity/tests."""
         state, tok0, lat0 = self._prefill_fn(
             self.gpt_params, self._cond_latent, codes,
             jnp.asarray([n_codes], jnp.int32), self._next_rng())
-        toks = [int(tok0[0])]
-        lats = [np.asarray(lat0)]
-        stop = self.gpt_cfg.stop_audio_token
         max_new = self._max_new(n_codes)
-        while toks[-1] != stop and len(toks) < max_new:
-            state, ctoks, clats, _ = self._decode_chunk_fn(self.gpt_params, state)
-            ctoks = np.asarray(ctoks)[0]
-            clats = np.asarray(clats)[0]
-            for t, l in zip(ctoks, clats):
-                toks.append(int(t))
-                lats.append(l[None])
-                if t == stop or len(toks) >= max_new:
-                    break
-        return toks, np.concatenate(lats, axis=0)
+        state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,
+                                                 max_new)
+        n = int(n_gen[0])
+        return [int(t) for t in np.asarray(toks)[0, :n]], None
 
     # ------------------------------------------------------------ public API
 
@@ -248,18 +291,21 @@ class GenVCPipeline:
                    ) -> np.ndarray:
         """Non-streaming VC (reference synthesize_utt, inference_utils.py:24-89).
 
-        src_wav: (1, T) @16 kHz; ref_audio: (1, T) @24 kHz → (T_out,) @24 kHz.
+        src_wav: (1, T) @16 kHz; ref_audio: (1, T) @24 kHz -> (T_out,) @24 kHz.
+        Four device dispatches per segment: cond latent (once), fused
+        content+prefill, decode_all while_loop, teacher-forced latent pass;
+        then one masked full-utterance vocoder call.
         """
         self._cond_latent = self.get_gpt_cond_latents(ref_audio)
-        total = src_wav.shape[-1]
         final_latents = []
-        for i in range(0, total, self._seg_len_16k):
-            seg = src_wav[:, i : i + self._seg_len_16k]
-            if i + self._seg_len_16k >= total and seg.shape[-1] < self._min_chunk_16k:
-                seg = np.pad(seg, ((0, 0), (0, self._min_chunk_16k - seg.shape[-1])))
-            codes, n_codes = self.extract_content_codes(seg)
-            toks, _ = self.generate_segment_codes(codes, n_codes)
-            gen = [t for t in toks if t != self.gpt_cfg.stop_audio_token]
+        for seg, t_real in self._segments(src_wav):
+            state, tok0, lat0, n_codes_dev, codes = self._start_segment(seg, t_real)
+            n_codes = int(n_codes_dev[0])
+            max_new = self._max_new(n_codes)
+            state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,
+                                                     max_new)
+            toks_np = np.asarray(toks)[0, : int(n_gen[0])]
+            gen = [int(t) for t in toks_np if t != self.gpt_cfg.stop_audio_token]
             if not gen:
                 continue
             n = len(gen)
@@ -287,61 +333,88 @@ class GenVCPipeline:
                              stream_chunk_size: int = STREAM_CHUNK,
                              verbose: bool = True):
         """Streaming VC (reference synthesize_utt_streaming,
-        inference_utils.py:136-217). Returns (wav, latency_s, rtf)."""
+        inference_utils.py:136-217). Returns (wav, latency_s, rtf).
+
+        Double-buffered driver: chunk N+1 is dispatched before chunk N's audio
+        is fetched, so the tunnel/dispatch round trip overlaps with decode.
+        """
         begin = time.perf_counter()
         self._cond_latent = self.get_gpt_cond_latents(ref_audio)
         total = src_wav.shape[-1]
         stop = self.gpt_cfg.stop_audio_token
+        csz = stream_chunk_size
+        d = self.gpt_cfg.model_dim
         pred_audios = []
         wav_overlap = None
         latency = None
 
-        for i in range(0, total, self._seg_len_16k):
-            seg = src_wav[:, i : i + self._seg_len_16k]
-            if i + self._seg_len_16k >= total and seg.shape[-1] < self._min_chunk_16k:
-                seg = np.pad(seg, ((0, 0), (0, self._min_chunk_16k - seg.shape[-1])))
-            codes, n_codes = self.extract_content_codes(seg)
+        def emit(wav_gen):
+            nonlocal wav_overlap, latency
+            chunk_wav, wav_overlap = _handle_chunk(np.asarray(wav_gen),
+                                                   wav_overlap, CROSSFADE)
+            pred_audios.append(chunk_wav)
+            if latency is None:
+                latency = time.perf_counter() - begin
+                if verbose:
+                    print(f"Latency: {latency:.3f}s")
+
+        for seg, t_real in self._segments(src_wav):
+            state, tok0, lat0, n_codes_dev, _ = self._start_segment(seg, t_real)
+            # first fused chunk: carry = prefill latent + (csz-1) decode steps
+            cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
+                                        state, csz - 1, lat0[:, None, :])
+            n_codes = int(n_codes_dev[0])          # syncs only tiny scalars
+            tok0_np = int(tok0[0])
             max_new = self._max_new(n_codes)
-            state, tok0, lat0 = self._prefill_fn(
-                self.gpt_params, self._cond_latent, codes,
-                jnp.asarray([n_codes], jnp.int32), self._next_rng())
-            pending_lat = [np.asarray(lat0)]
-            n_toks = 1
-            done = int(tok0[0]) == stop
+            n_total = 1
+            toks_hist = [tok0_np]
+            seg_done = tok0_np == stop
+            if seg_done:
+                # EOS at the very first token: vocode just the prefill latent
+                wav_gen = self._vocode_fn(self.hifigan_params,
+                                          lat0[:, None, :], 1)
+                emit(wav_gen[0])
+                continue
 
-            def flush(latbuf):
-                nonlocal wav_overlap, latency
-                lat = np.concatenate(latbuf, axis=0)[None]  # (1, n, D)
-                wav_gen = np.asarray(self._vocode_fn(
-                    self.hifigan_params, jnp.asarray(lat), lat.shape[1]))[0]
-                chunk_wav, wav_overlap = _handle_chunk(wav_gen, wav_overlap,
-                                                       CROSSFADE)
-                pred_audios.append(chunk_wav)
-                if latency is None:
-                    latency = time.perf_counter() - begin
-                    if verbose:
-                        print(f"Latency: {latency:.3f}s")
-
-            # device calls aligned to the flush boundary: the prefill produced
-            # 1 token, so the first decode call runs chunk-1 steps, later ones
-            # a full chunk; every emitted (token, latent) is consumed.
-            while not done and n_toks < max_new:
-                k = stream_chunk_size - (n_toks % stream_chunk_size)
-                state, ctoks, clats, _ = self._decode_chunk_fn(
-                    self.gpt_params, state, k)
-                ctoks = np.asarray(ctoks)[0]
-                clats = np.asarray(clats)[0]
-                for t, l in zip(ctoks, clats):
-                    pending_lat.append(l[None])
-                    n_toks += 1
-                    if t == stop or n_toks >= max_new:
-                        done = True
+            while True:
+                st, toks, lats, pre_fin, wav = cur
+                # prefetch the next full chunk before consuming this one
+                nxt = None
+                if n_total + csz < max_new:
+                    nxt = self._stream_chunk_fn(self.gpt_params,
+                                                self.hifigan_params, st, csz,
+                                                jnp.zeros((1, 0, d),
+                                                          jnp.float32))
+                toks_np = np.asarray(toks)[0]      # sync point
+                k = len(toks_np)
+                carry = csz - k
+                eos_j = None
+                for j, t in enumerate(toks_np):
+                    if n_total + j + 1 > max_new:
+                        eos_j = j - 1
                         break
-                if not done and pending_lat and n_toks % stream_chunk_size == 0:
-                    flush(pending_lat)
-                    pending_lat = []
-            if pending_lat:
-                flush(pending_lat)
+                    if t == stop:
+                        eos_j = j
+                        break
+                if eos_j is None and n_total + k >= max_new:
+                    eos_j = k - 1
+                if eos_j is None:
+                    emit(np.asarray(wav)[0])
+                    n_total += k
+                    toks_hist.extend(int(t) for t in toks_np)
+                    cur = nxt
+                    if cur is None:
+                        break
+                else:
+                    n_valid = carry + eos_j + 1
+                    toks_hist.extend(int(t) for t in toks_np[: eos_j + 1])
+                    if n_valid == csz:
+                        emit(np.asarray(wav)[0])
+                    elif n_valid > 0:
+                        wav_gen = self._vocode_fn(
+                            self.hifigan_params, lats[:, :n_valid], n_valid)
+                        emit(np.asarray(wav_gen)[0])
+                    break
 
         wav = np.concatenate(pred_audios, axis=-1)
         elapsed = time.perf_counter() - begin
@@ -353,27 +426,36 @@ class GenVCPipeline:
     def warmup(self, streaming: bool = True):
         """Compile the hot path so first-chunk latency excludes compilation."""
         rng = np.random.default_rng(0)
+        d = self.gpt_cfg.model_dim
         ref = (rng.standard_normal((1, self._cond_chunk)) * 0.05).astype(np.float32)
         src = (rng.standard_normal((1, self._seg_len_16k)) * 0.05).astype(np.float32)
         self._cond_latent = self.get_gpt_cond_latents(ref)
-        codes, n = self.extract_content_codes(src)
-        state, tok0, lat0 = self._prefill_fn(
-            self.gpt_params, self._cond_latent, codes,
-            jnp.asarray([n], jnp.int32), self._next_rng())
-        self._decode_chunk_fn(self.gpt_params, state)
+        state, tok0, lat0, n_codes, codes = self._start_segment(
+            src, self._seg_len_16k)
         if streaming:
+            cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
+                                        state, STREAM_CHUNK - 1,
+                                        lat0[:, None, :])
+            cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
+                                        cur[0], STREAM_CHUNK,
+                                        jnp.zeros((1, 0, d), jnp.float32))
             for c in range(1, STREAM_CHUNK + 1):
-                lat = jnp.zeros((1, c, self.gpt_cfg.model_dim), jnp.float32)
+                lat = jnp.zeros((1, c, d), jnp.float32)
                 self._vocode_fn(self.hifigan_params, lat, c)
+            jax.block_until_ready(cur[0].cache_k)
         else:
-            lat = jnp.zeros((1, LATENT_BUCKET, self.gpt_cfg.model_dim), jnp.float32)
+            max_new = self._max_new(75)
+            state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,
+                                                     max_new)
+            lat = jnp.zeros((1, LATENT_BUCKET, d), jnp.float32)
             self._vocode_masked_fn(self.hifigan_params, lat, jnp.int32(60))
             gen_arr = jnp.zeros((1, LATENT_BUCKET), jnp.int32)
-            self._latent_fn(self.gpt_params, codes, jnp.asarray([n], jnp.int32),
-                            gen_arr,
-                            jnp.asarray([60 * self.gpt_cfg.code_stride_len], jnp.int32),
+            self._latent_fn(self.gpt_params, codes,
+                            jnp.asarray([60], jnp.int32), gen_arr,
+                            jnp.asarray([60 * self.gpt_cfg.code_stride_len],
+                                        jnp.int32),
                             self._cond_latent)
-        jax.block_until_ready(lat0)
+            jax.block_until_ready(n_gen)
 
 
 def _handle_chunk(wav_gen: np.ndarray, wav_overlap, overlap_len: int):

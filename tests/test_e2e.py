@@ -70,10 +70,23 @@ def test_streaming_vs_nonstreaming_code_consistency(pipe):
         ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
         pipe._cond_latent = pipe.get_gpt_cond_latents(ref)
         codes, n = pipe.extract_content_codes(src)
-        toks1, lats1 = pipe.generate_segment_codes(codes, n)
-        toks2, lats2 = pipe.generate_segment_codes(codes, n)
+        toks1, _ = pipe.generate_segment_codes(codes, n)
+        toks2, _ = pipe.generate_segment_codes(codes, n)
         assert toks1 == toks2
-        np.testing.assert_allclose(lats1, lats2, atol=1e-5)
+        # fused streaming chunks must produce the same greedy tokens
+        state, tok0, lat0, n_dev, _ = pipe._start_segment(
+            np.pad(src, ((0, 0), (0, pipe._seg_len_16k - src.shape[-1]))),
+            src.shape[-1])
+        stream_toks = [int(tok0[0])]
+        cur = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                    state, 7, lat0[:, None, :])
+        stream_toks += [int(t) for t in np.asarray(cur[1])[0]]
+        while len(stream_toks) < len(toks1):
+            cur = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                        cur[0], 8,
+                                        jnp.zeros((1, 0, 64), jnp.float32))
+            stream_toks += [int(t) for t in np.asarray(cur[1])[0]]
+        assert stream_toks[: len(toks1)] == toks1
     finally:
         pipe.sampler = old
         pipe._build_jits()
