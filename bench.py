@@ -96,6 +96,10 @@ def main():
 
     src, ref = load_bench_audio(pipe)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     latencies, rtfs, tok_rates = [], [], []
     for i in range(n_runs):
@@ -106,6 +110,9 @@ def main():
         latencies.append(latency)
         rtfs.append(rtf)
         tok_rates.append(n_tokens / elapsed)
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     rtf_avg = float(np.mean(rtfs))
     result = {

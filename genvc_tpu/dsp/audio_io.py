@@ -61,7 +61,19 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
 
 
 def load_audio(path: str, sampling_rate: int) -> np.ndarray | None:
-    """Reference-compatible loader: returns (1, T) float32 or None on failure."""
+    """Reference-compatible loader: returns (1, T) float32 or None on failure.
+
+    Uses the native C++ decoder/resampler (genvc_tpu.data.native_audio) when
+    built; numpy fallback otherwise."""
+    try:
+        from genvc_tpu.data import native_audio
+
+        if native_audio.available():
+            out = native_audio.load_audio_native(path, sampling_rate)
+            if out is not None:
+                return out
+    except Exception:
+        pass
     try:
         audio, sr = read_wav(path)
     except Exception:

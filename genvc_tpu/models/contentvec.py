@@ -197,3 +197,14 @@ def init_params(key, n_layers: int = 12):
         "layers": stack(layers),
         "final_proj": lin(EMBED_DIM, FINAL_DIM),
     }
+
+
+def extract_conv_features(params, wav: jnp.ndarray) -> jnp.ndarray:
+    """mHuBERT-style conv-extractor-only features: (B, T) -> (B, T', 512).
+
+    Equivalent of the reference ``MultiLingualContentExtractor``
+    (layers/content_processor.py:36-52), which taps HF mHuBERT-147's
+    ``feature_extractor`` (the 7-layer conv stack) without the transformer.
+    Selectable via ``feat_type='W2V2_BERT'`` in the VAE stage.
+    """
+    return feature_extractor(params, wav)

@@ -107,10 +107,34 @@ def _block_forward(bp, h, bias, heads):
     return h
 
 
+USE_FLASH_ATTENTION = "auto"  # "auto" = pallas kernel on TPU, jax path elsewhere
+
+
+def _flash_enabled() -> bool:
+    if USE_FLASH_ATTENTION == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(USE_FLASH_ATTENTION)
+
+
 def core_forward(core, h: jnp.ndarray, cfg: GPTConfig,
                  key_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full-sequence causal forward. h: (B, T, D); key_valid: (B, T) bool."""
     t = h.shape[1]
+    if _flash_enabled():
+        from genvc_tpu.ops.flash_attention import flash_attention
+
+        kv = key_valid if key_valid is not None else jnp.ones(
+            (h.shape[0], t), bool)
+
+        def attend(q, k, v):
+            return flash_attention(q, k, v, kv)
+
+        def body(carry, bp):
+            return _block_forward_attend(bp, carry, attend, cfg.heads), None
+
+        h, _ = jax.lax.scan(body, h, core["blocks"])
+        return nn.layer_norm(core["ln_f"], h)
+
     bias = nn.causal_bias(t, jnp.float32)
     if key_valid is not None:
         bias = bias + nn.key_padding_bias(key_valid)
@@ -120,6 +144,21 @@ def core_forward(core, h: jnp.ndarray, cfg: GPTConfig,
 
     h, _ = jax.lax.scan(body, h, core["blocks"])
     return nn.layer_norm(core["ln_f"], h)
+
+
+def _block_forward_attend(bp, h, attend, heads):
+    x = nn.layer_norm(bp["ln_1"], h)
+    qkv = nn.linear(bp["attn"]["c_attn"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    a = nn.merge_heads(attend(nn.split_heads(q, heads),
+                              nn.split_heads(k, heads),
+                              nn.split_heads(v, heads)))
+    h = h + nn.linear(bp["attn"]["c_proj"], a)
+    x = nn.layer_norm(bp["ln_2"], h)
+    x = nn.linear(bp["mlp"]["c_fc"], x)
+    x = nn.gelu_new(x)
+    h = h + nn.linear(bp["mlp"]["c_proj"], x)
+    return h
 
 
 # ---------------------------------------------------------------------------

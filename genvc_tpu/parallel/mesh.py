@@ -78,3 +78,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None):
+    """Multi-host bring-up (the TPU-native analogue of the reference's NCCL
+    process-group init owned by the Coqui trainer; SURVEY.md §2.2).
+
+    On Cloud TPU pods, ``jax.distributed.initialize()`` auto-discovers
+    coordinates; arguments are for manual clusters. After this, ``make_mesh``
+    spans all hosts' devices and per-host data loading uses
+    ``jax.process_index()`` to shard the sample space.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+    except Exception:
+        pass  # single-process run

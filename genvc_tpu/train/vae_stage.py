@@ -47,9 +47,19 @@ def make_feature_fn(config: VAEConfig, mel_norms=None,
             t = m.shape[-1] - (m.shape[-1] % 4)
             return m[:, :, :t]
 
-    elif config.feat_type in ("ContentVec", "W2V2_BERT"):
+    elif config.feat_type == "ContentVec":
         def feat_fn(wav):
             feats = contentvec.extract_content_features(
+                contentvec_params, wav[:, 0, :])
+            m = jnp.swapaxes(feats, 1, 2)
+            t = m.shape[-1] - (m.shape[-1] % 4)
+            return m[:, :, :t]
+
+    elif config.feat_type == "W2V2_BERT":
+        # mHuBERT-style conv-extractor-only features
+        # (reference MultiLingualContentExtractor, content_processor.py:36-52)
+        def feat_fn(wav):
+            feats = contentvec.extract_conv_features(
                 contentvec_params, wav[:, 0, :])
             m = jnp.swapaxes(feats, 1, 2)
             t = m.shape[-1] - (m.shape[-1] % 4)
