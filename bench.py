@@ -84,6 +84,16 @@ def load_bench_audio(pipe):
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the (minutes-long)
+    # first-compile of the 30-layer decode/prefill graphs
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/genvc_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \

@@ -87,6 +87,9 @@ class GenVCPipeline:
         # compute match a trained checkpoint (audio codes are ~1.875× content
         # codes: 23.44 Hz vs 12.5 Hz)
         self.gen_cap_tokens_per_code: float | None = None
+        # streaming chunks kept in flight; raise when dispatch/fetch round-trip
+        # latency is high relative to per-chunk compute (e.g. remote tunnels)
+        self.pipeline_depth: int = 4
         self._build_jits()
 
     def _max_new(self, n_codes: int) -> int:
@@ -202,6 +205,41 @@ class GenVCPipeline:
         def decode_all_fn(gpt_params, state, max_new):
             return engine.decode_all(gpt_params, gcfg, state, sampler, max_new)
 
+        @jax.jit
+        def cond_latent_batch_fn(gpt_params, ref_chunks, n_frames_valid,
+                                 chunk_valid):
+            """Up to 5 statically padded 6 s reference chunks -> masked-mean
+            speaker latent (1, 32, D); invalid chunk rows drop out of the
+            mean. One dispatch instead of one per chunk."""
+            m = mel_mod.mel_torchaudio(ref_chunks, style_spec, mel_norms,
+                                       pre_padded=True)
+            n_frames = m.shape[-1]
+            frame_valid = jnp.arange(n_frames)[None, :] < n_frames_valid[:, None]
+            embs = gpt_model.get_style_emb(gpt_params, m, frame_valid)
+            w = chunk_valid.astype(jnp.float32)[:, None, None]
+            return (jnp.sum(embs * w, axis=0) /
+                    jnp.maximum(jnp.sum(w), 1.0))[None]
+
+        @jax.jit
+        def first_audio_fn(cv_params, cd_params, gpt_params, hifi_params,
+                           ref_chunks, n_frames_valid, chunk_valid,
+                           seg16k, sample_valid, rng):
+            """Everything from raw reference + source segment to the first
+            audio chunk in ONE dispatch: cond latents, content codes, prefill,
+            chunk-1 decode, vocoder. Minimizes time-to-first-audio on
+            dispatch-latency-bound links."""
+            cond = cond_latent_batch_fn(gpt_params, ref_chunks,
+                                        n_frames_valid, chunk_valid)
+            state, tok0, lat0, n_codes, codes = segment_prefill_fn(
+                cv_params, cd_params, gpt_params, hifi_params, cond, seg16k,
+                sample_valid, rng)
+            st, toks, lats, pre_fin, wav = stream_chunk_fn(
+                gpt_params, hifi_params, state, STREAM_CHUNK - 1,
+                lat0[:, None, :])
+            return cond, st, tok0, toks, lats, pre_fin, wav, n_codes
+
+        self._cond_latent_batch_fn = cond_latent_batch_fn
+        self._first_audio_fn = first_audio_fn
         self._segment_prefill_fn = segment_prefill_fn
         self._stream_chunk_fn = stream_chunk_fn
         self._decode_all_fn = decode_all_fn
@@ -215,9 +253,44 @@ class GenVCPipeline:
 
     # ------------------------------------------------------- building blocks
 
+    def _prep_ref_chunks(self, ref_audio: np.ndarray):
+        """Host prep for the conditioning reference: split into up to 5 6-s
+        chunks, reflect-pad each around its true extent (host-side center
+        padding trick), zero-pad to the static width. Returns
+        (chunks (5, W), n_frames_valid (5,), chunk_valid (5,))."""
+        sr = self.sample_rate
+        audio = np.asarray(ref_audio)
+        if audio.shape[1] > sr * COND_MAX_SECONDS:
+            audio = audio[:, : sr * COND_MAX_SECONDS]
+        pad_fft = self.style_spec.n_fft // 2
+        static_w = self._cond_chunk + 2 * pad_fft
+        n_max = COND_MAX_SECONDS // COND_CHUNK_SECONDS
+        chunks = np.zeros((n_max, static_w), np.float32)
+        n_frames = np.zeros((n_max,), np.int32)
+        valid = np.zeros((n_max,), bool)
+        row = 0
+        for i in range(0, audio.shape[1], self._cond_chunk):
+            chunk = audio[:, i : i + self._cond_chunk]
+            if chunk.shape[-1] < sr * 0.33:
+                continue
+            t_real = chunk.shape[-1]
+            padded = np.pad(chunk, ((0, 0), (pad_fft, pad_fft)), mode="reflect")
+            chunks[row, : padded.shape[1]] = padded[0]
+            n_frames[row] = t_real // self.style_spec.hop_length + 1
+            valid[row] = True
+            row += 1
+        return chunks, n_frames, valid
+
     def get_gpt_cond_latents(self, ref_audio: np.ndarray) -> jnp.ndarray:
         """(1, T) 24 kHz reference audio -> (1, 32, D) speaker latents
         (reference: hifigan_trainer.py:438-455 — 6 s chunks, ≤30 s, mean)."""
+        chunks, n_frames, valid = self._prep_ref_chunks(ref_audio)
+        return self._cond_latent_batch_fn(
+            self.gpt_params, jnp.asarray(chunks), jnp.asarray(n_frames),
+            jnp.asarray(valid))
+
+    def _get_gpt_cond_latents_loop(self, ref_audio: np.ndarray) -> jnp.ndarray:
+        """Per-chunk variant kept for parity testing against the batch path."""
         sr = self.sample_rate
         audio = np.asarray(ref_audio)
         if audio.shape[1] > sr * COND_MAX_SECONDS:
@@ -339,7 +412,6 @@ class GenVCPipeline:
         is fetched, so the tunnel/dispatch round trip overlaps with decode.
         """
         begin = time.perf_counter()
-        self._cond_latent = self.get_gpt_cond_latents(ref_audio)
         total = src_wav.shape[-1]
         stop = self.gpt_cfg.stop_audio_token
         csz = stream_chunk_size
@@ -358,34 +430,63 @@ class GenVCPipeline:
                 if verbose:
                     print(f"Latency: {latency:.3f}s")
 
+        empty_carry = jnp.zeros((1, 0, d), jnp.float32)
+        depth = self.pipeline_depth
+        ref_chunks, ref_frames, ref_valid = self._prep_ref_chunks(ref_audio)
+        self._cond_latent = None
+
         for seg, t_real in self._segments(src_wav):
-            state, tok0, lat0, n_codes_dev, _ = self._start_segment(seg, t_real)
-            # first fused chunk: carry = prefill latent + (csz-1) decode steps
-            cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
-                                        state, csz - 1, lat0[:, None, :])
-            n_codes = int(n_codes_dev[0])          # syncs only tiny scalars
-            tok0_np = int(tok0[0])
+            if self._cond_latent is None:
+                # first segment: ref conditioning -> ... -> first audio chunk
+                # in a single device dispatch (latency-critical)
+                (cond, state, tok0, ctoks, clats, cpre_fin, cwav,
+                 n_codes_dev) = self._first_audio_fn(
+                    self.contentvec_params, self.content_dvae_params,
+                    self.gpt_params, self.hifigan_params,
+                    jnp.asarray(ref_chunks), jnp.asarray(ref_frames),
+                    jnp.asarray(ref_valid), jnp.asarray(seg),
+                    jnp.asarray([t_real], jnp.int32), self._next_rng())
+                self._cond_latent = cond
+                lat0 = clats[:, :1]
+                inflight = [(state, ctoks, clats, cpre_fin, cwav)]
+            else:
+                state, tok0, lat0, n_codes_dev, _ = self._start_segment(
+                    seg, t_real)
+                # first fused chunk: prefill latent + (csz-1) decode steps
+                inflight = [self._stream_chunk_fn(
+                    self.gpt_params, self.hifigan_params, state, csz - 1,
+                    lat0[:, None, :])]
+            # speculative pipeline: keep `depth` chunks in flight so the
+            # host<->device round trip amortizes over depth x chunk compute.
+            # Chunks decoded past EOS are garbage (finished rows emit stop
+            # tokens) and are simply dropped.
+            n_dispatched = 1
+            while len(inflight) < depth:
+                inflight.append(self._stream_chunk_fn(
+                    self.gpt_params, self.hifigan_params, inflight[-1][0],
+                    csz, empty_carry))
+                n_dispatched += 1
+            tok0_np, n_codes = jax.device_get((tok0, n_codes_dev))
+            tok0_np, n_codes = int(tok0_np[0]), int(n_codes[0])
             max_new = self._max_new(n_codes)
             n_total = 1
-            toks_hist = [tok0_np]
-            seg_done = tok0_np == stop
-            if seg_done:
+            if tok0_np == stop:
                 # EOS at the very first token: vocode just the prefill latent
                 wav_gen = self._vocode_fn(self.hifigan_params,
                                           lat0[:, None, :], 1)
-                emit(wav_gen[0])
+                emit(np.asarray(wav_gen)[0])
                 continue
 
-            while True:
-                st, toks, lats, pre_fin, wav = cur
-                # prefetch the next full chunk before consuming this one
-                nxt = None
-                if n_total + csz < max_new:
-                    nxt = self._stream_chunk_fn(self.gpt_params,
-                                                self.hifigan_params, st, csz,
-                                                jnp.zeros((1, 0, d),
-                                                          jnp.float32))
-                toks_np = np.asarray(toks)[0]      # sync point
+            while inflight:
+                st, toks, lats, pre_fin, wav = inflight.pop(0)
+                # top up the pipeline before consuming this chunk
+                if n_total + len(inflight) * csz + csz < max_new:
+                    tail_state = inflight[-1][0] if inflight else st
+                    inflight.append(self._stream_chunk_fn(
+                        self.gpt_params, self.hifigan_params, tail_state, csz,
+                        empty_carry))
+                toks_np, wav_np = jax.device_get((toks, wav))  # one sync
+                toks_np = toks_np[0]
                 k = len(toks_np)
                 carry = csz - k
                 eos_j = None
@@ -399,17 +500,12 @@ class GenVCPipeline:
                 if eos_j is None and n_total + k >= max_new:
                     eos_j = k - 1
                 if eos_j is None:
-                    emit(np.asarray(wav)[0])
+                    emit(wav_np[0])
                     n_total += k
-                    toks_hist.extend(int(t) for t in toks_np)
-                    cur = nxt
-                    if cur is None:
-                        break
                 else:
                     n_valid = carry + eos_j + 1
-                    toks_hist.extend(int(t) for t in toks_np[: eos_j + 1])
                     if n_valid == csz:
-                        emit(np.asarray(wav)[0])
+                        emit(wav_np[0])
                     elif n_valid > 0:
                         wav_gen = self._vocode_fn(
                             self.hifigan_params, lats[:, :n_valid], n_valid)
@@ -433,6 +529,12 @@ class GenVCPipeline:
         state, tok0, lat0, n_codes, codes = self._start_segment(
             src, self._seg_len_16k)
         if streaming:
+            chunks, frames, valid = self._prep_ref_chunks(ref)
+            out = self._first_audio_fn(
+                self.contentvec_params, self.content_dvae_params,
+                self.gpt_params, self.hifigan_params, jnp.asarray(chunks),
+                jnp.asarray(frames), jnp.asarray(valid), jnp.asarray(src),
+                jnp.asarray([self._seg_len_16k], jnp.int32), self._next_rng())
             cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
                                         state, STREAM_CHUNK - 1,
                                         lat0[:, None, :])
@@ -443,6 +545,7 @@ class GenVCPipeline:
                 lat = jnp.zeros((1, c, d), jnp.float32)
                 self._vocode_fn(self.hifigan_params, lat, c)
             jax.block_until_ready(cur[0].cache_k)
+            jax.block_until_ready(out[0])
         else:
             max_new = self._max_new(75)
             state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,

@@ -90,3 +90,12 @@ def test_streaming_vs_nonstreaming_code_consistency(pipe):
     finally:
         pipe.sampler = old
         pipe._build_jits()
+
+
+def test_cond_latent_batch_matches_loop(pipe):
+    rng = np.random.default_rng(7)
+    # 2.5 chunks of reference audio (last one partial)
+    ref = (rng.standard_normal((1, int(24000 * 14.5))) * 0.1).astype(np.float32)
+    batch = np.asarray(pipe.get_gpt_cond_latents(ref))
+    loop = np.asarray(pipe._get_gpt_cond_latents_loop(ref))
+    np.testing.assert_allclose(batch, loop, rtol=2e-4, atol=2e-4)
