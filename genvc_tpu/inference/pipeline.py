@@ -89,7 +89,7 @@ class GenVCPipeline:
         self.gen_cap_tokens_per_code: float | None = None
         # streaming chunks kept in flight; raise when dispatch/fetch round-trip
         # latency is high relative to per-chunk compute (e.g. remote tunnels)
-        self.pipeline_depth: int = 4
+        self.pipeline_depth: int = 6
         self._build_jits()
 
     def _max_new(self, n_codes: int) -> int:

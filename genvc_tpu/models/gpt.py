@@ -117,8 +117,14 @@ def _flash_enabled() -> bool:
 
 
 def core_forward(core, h: jnp.ndarray, cfg: GPTConfig,
-                 key_valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Full-sequence causal forward. h: (B, T, D); key_valid: (B, T) bool."""
+                 key_valid: jnp.ndarray | None = None,
+                 remat: bool = True) -> jnp.ndarray:
+    """Full-sequence causal forward. h: (B, T, D); key_valid: (B, T) bool.
+
+    ``remat=True`` checkpoints each block: backward recomputes activations
+    layer by layer, trading FLOPs for HBM (free on forward-only paths since
+    XLA drops the unused recompute).
+    """
     t = h.shape[1]
     if _flash_enabled():
         from genvc_tpu.ops.flash_attention import flash_attention
@@ -129,18 +135,18 @@ def core_forward(core, h: jnp.ndarray, cfg: GPTConfig,
         def attend(q, k, v):
             return flash_attention(q, k, v, kv)
 
-        def body(carry, bp):
-            return _block_forward_attend(bp, carry, attend, cfg.heads), None
+        block = lambda c, bp: _block_forward_attend(bp, c, attend, cfg.heads)
+    else:
+        bias = nn.causal_bias(t, jnp.float32)
+        if key_valid is not None:
+            bias = bias + nn.key_padding_bias(key_valid)
+        block = lambda c, bp: _block_forward(bp, c, bias, cfg.heads)
 
-        h, _ = jax.lax.scan(body, h, core["blocks"])
-        return nn.layer_norm(core["ln_f"], h)
-
-    bias = nn.causal_bias(t, jnp.float32)
-    if key_valid is not None:
-        bias = bias + nn.key_padding_bias(key_valid)
+    if remat:
+        block = jax.checkpoint(block)
 
     def body(carry, bp):
-        return _block_forward(bp, carry, bias, cfg.heads), None
+        return block(carry, bp), None
 
     h, _ = jax.lax.scan(body, h, core["blocks"])
     return nn.layer_norm(core["ln_f"], h)
