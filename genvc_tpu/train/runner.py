@@ -58,12 +58,17 @@ def _load_dvae(path, name="dvae"):
     return jax.tree.map(jnp.asarray, ckpt_lib.convert_dvae(sd))
 
 
-def _data_mesh():
-    return mesh_lib.make_mesh(n_data=len(jax.devices()), n_model=1)
+def _data_mesh(batch_size: int | None = None):
+    n = len(jax.devices())
+    if batch_size is not None:
+        while n > 1 and batch_size % n:
+            n -= 1
+    return mesh_lib.make_mesh(n_data=n, n_model=1,
+                              devices=jax.devices()[:n])
 
 
 def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
-    mesh = _data_mesh()
+    mesh = _data_mesh(cfg.batch_size)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
     logger.print(f"devices: {jax.devices()}")
@@ -111,7 +116,7 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
 
 
 def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
-    mesh = _data_mesh()
+    mesh = _data_mesh(cfg.batch_size)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
     logger.print(f"devices: {jax.devices()}")
@@ -202,7 +207,7 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
 
 
 def run_vocoder_training(cfg: GenVCConfig):
-    mesh = _data_mesh()
+    mesh = _data_mesh(cfg.batch_size)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
     logger.print(f"devices: {jax.devices()}")
