@@ -48,3 +48,79 @@ def test_vae_runner_end_to_end(tmp_path):
     # resume picks up the saved step
     state2 = run_vae_training(cfg.replace(epochs=0))
     assert int(state2.step) == 2
+
+
+def _write_stage_ckpts(tmp_path):
+    import torch
+    import synthetic_bundle as sb
+
+    torch.manual_seed(0)
+    cv_path = str(tmp_path / "contentvec.pt")
+    torch.save({"model": sb.contentvec_sd(prefix="", n_layers=1)}, cv_path)
+    ad_path = str(tmp_path / "acoustic_dvae.pth")
+    torch.save(sb.dvae_sd("", 80, 64), ad_path)
+    cd_path = str(tmp_path / "content_dvae.pth")
+    torch.save(sb.dvae_sd("", 256, 36), cd_path)
+    gpt_path = str(tmp_path / "gpt.pth")
+    torch.save({"model": sb.gpt_sd(prefix="gpt."), "config": {}}, gpt_path)
+    return cv_path, ad_path, cd_path, gpt_path
+
+
+def _tiny_gen_cfg(tmp_path, meta, cv, ad, cd, gpt=None):
+    from genvc_tpu.config import (AudioConfig, GenVCConfig, GPTModelArgs,
+                                  VAEConfig, VocoderConfig)
+    import synthetic_bundle as sb
+
+    model_args = GPTModelArgs(
+        gpt_layers=sb.GPT_LAYERS, gpt_n_model_channels=sb.GPT_DIM,
+        gpt_n_heads=sb.GPT_HEADS, gpt_number_text_tokens=258,
+        gpt_start_text_token=256, gpt_stop_text_token=257,
+        gpt_fix_condition_embeddings=True,
+        gpt_use_masking_gt_prompt_approach=True,
+        min_text_length=2, max_text_length=4,
+        min_conditioning_length=24000, max_conditioning_length=48000,
+        mel_norm_file=None, gpt_checkpoint=gpt)
+    vae_kw = dict(codebook_dim=24, hidden_dim=sb.DVAE_HIDDEN,
+                  num_resnet_blocks=3, kernel_size=3, num_layers=2)
+    return GenVCConfig(
+        contentvec_model_path=cv, acoustic_dvae_checkpoint=ad,
+        content_dvae_checkpoint=cd, model_args=model_args,
+        audio=AudioConfig(),
+        acoustic_dvae_config=VAEConfig(num_channels=80, num_tokens=64, **vae_kw),
+        content_dvae_config=VAEConfig(num_channels=256, num_tokens=36, **vae_kw),
+        vocoder_config=VocoderConfig(
+            input_feat_dim=sb.GPT_DIM, upsample_initial_channel=16,
+            msstftd_filters=4, mssbcqtd_filters=4, mssbcqtd_hop_lengths=[512],
+            mssbcqtd_n_octavess=[5], mssbcqtd_bins_per_octave=[12]),
+        batch_size=2, eval_batch_size=2, num_loader_workers=2, epochs=1,
+        print_step=1, save_step=100, lr=1e-4,
+        optimizer_params={"betas": [0.9, 0.96], "eps": 1e-8,
+                          "weight_decay": 1e-6},
+        train_metafile=meta, test_metafile=meta,
+        output_path=str(tmp_path / "exp_gpt"))
+
+
+def test_gpt_runner_end_to_end(tmp_path):
+    import numpy as np  # noqa
+    from genvc_tpu.train.runner import run_gpt_training
+
+    meta = make_dataset(tmp_path, n=4, dur=1.6)
+    cv, ad, cd, gpt = _write_stage_ckpts(tmp_path)
+    cfg = _tiny_gen_cfg(tmp_path, meta, cv, ad, cd)
+    state = run_gpt_training(cfg)
+    assert int(state.step) == 2
+
+
+def test_vocoder_runner_end_to_end(tmp_path):
+    from genvc_tpu.train.runner import run_vocoder_training
+
+    meta = make_dataset(tmp_path, n=4, dur=1.0)
+    cv, ad, cd, gpt = _write_stage_ckpts(tmp_path)
+    cfg = _tiny_gen_cfg(tmp_path, meta, cv, ad, cd, gpt=gpt)
+    cfg.model_args.min_text_length = 2
+    cfg.model_args.max_text_length = 2
+    cfg.output_path = str(tmp_path / "exp_voc")
+    cfg.optimizer_params = {"betas": [0.8, 0.99], "eps": 1e-8,
+                            "weight_decay": 1e-6}
+    state = run_vocoder_training(cfg)
+    assert int(state.step) == 2
