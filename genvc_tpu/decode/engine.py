@@ -173,8 +173,6 @@ def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
 
     bias = nn.causal_bias(p + 1) + nn.key_padding_bias(seq_valid)
 
-    ks, vs = [], []
-
     def body(carry, bp):
         h = carry
         x = nn.layer_norm(bp["ln_1"], h)

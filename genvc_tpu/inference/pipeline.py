@@ -435,6 +435,18 @@ class GenVCPipeline:
         ref_chunks, ref_frames, ref_valid = self._prep_ref_chunks(ref_audio)
         self._cond_latent = None
 
+        def prefetch(chunk):
+            # start the device->host copies as soon as the chunk is dispatched
+            # so the consuming device_get is a local cache hit (fetch latency
+            # overlaps decode instead of serializing after it)
+            _, toks, _, _, wav = chunk
+            try:
+                toks.copy_to_host_async()
+                wav.copy_to_host_async()
+            except Exception:
+                pass
+            return chunk
+
         for seg, t_real in self._segments(src_wav):
             if self._cond_latent is None:
                 # first segment: ref conditioning -> ... -> first audio chunk
@@ -448,23 +460,23 @@ class GenVCPipeline:
                     jnp.asarray([t_real], jnp.int32), self._next_rng())
                 self._cond_latent = cond
                 lat0 = clats[:, :1]
-                inflight = [(state, ctoks, clats, cpre_fin, cwav)]
+                inflight = [prefetch((state, ctoks, clats, cpre_fin, cwav))]
             else:
                 state, tok0, lat0, n_codes_dev, _ = self._start_segment(
                     seg, t_real)
                 # first fused chunk: prefill latent + (csz-1) decode steps
-                inflight = [self._stream_chunk_fn(
+                inflight = [prefetch(self._stream_chunk_fn(
                     self.gpt_params, self.hifigan_params, state, csz - 1,
-                    lat0[:, None, :])]
+                    lat0[:, None, :]))]
             # speculative pipeline: keep `depth` chunks in flight so the
             # host<->device round trip amortizes over depth x chunk compute.
             # Chunks decoded past EOS are garbage (finished rows emit stop
             # tokens) and are simply dropped.
             n_dispatched = 1
             while len(inflight) < depth:
-                inflight.append(self._stream_chunk_fn(
+                inflight.append(prefetch(self._stream_chunk_fn(
                     self.gpt_params, self.hifigan_params, inflight[-1][0],
-                    csz, empty_carry))
+                    csz, empty_carry)))
                 n_dispatched += 1
             tok0_np, n_codes = jax.device_get((tok0, n_codes_dev))
             tok0_np, n_codes = int(tok0_np[0]), int(n_codes[0])
@@ -482,9 +494,9 @@ class GenVCPipeline:
                 # top up the pipeline before consuming this chunk
                 if n_total + len(inflight) * csz + csz < max_new:
                     tail_state = inflight[-1][0] if inflight else st
-                    inflight.append(self._stream_chunk_fn(
+                    inflight.append(prefetch(self._stream_chunk_fn(
                         self.gpt_params, self.hifigan_params, tail_state, csz,
-                        empty_carry))
+                        empty_carry)))
                 toks_np, wav_np = jax.device_get((toks, wav))  # one sync
                 toks_np = toks_np[0]
                 k = len(toks_np)

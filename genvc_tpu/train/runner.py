@@ -198,11 +198,43 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
         logger.print(f"resumed from step {step0}")
 
     to_dev = lambda b: mesh_lib.shard_batch(jax.tree.map(jnp.asarray, b), mesh)
+
+    def on_epoch_end(state, epoch, step):
+        # listening samples: self-reconstruction + cross-speaker conversion
+        # (reference generate_eval_sample, gpt_trainer.py:146-170)
+        if not logger.is_main:
+            return
+        try:
+            from genvc_tpu.train.eval_samples import generate_eval_samples
+            from genvc_tpu.dsp.audio_io import write_wav
+
+            batch = to_dev(next(iter(eval_loader)))
+            feats = gpt_stage.prepare_features(frozen, batch)
+            self_wav, cross_wav, tgt = generate_eval_samples(
+                state.params, gcfg, frozen.acoustic_dvae_params,
+                frozen.acoustic_dvae_cfg, feats, frozen.mel_norms,
+                jax.random.key(epoch))
+            sample_dir = os.path.join(cfg.output_path, "eval_samples")
+            os.makedirs(sample_dir, exist_ok=True)
+            write_wav(os.path.join(sample_dir, f"e{epoch}_self.wav"),
+                      self_wav, cfg.audio.sample_rate)
+            write_wav(os.path.join(sample_dir, f"e{epoch}_cross{tgt}.wav"),
+                      cross_wav, cfg.audio.sample_rate)
+            if logger.wandb is not None:
+                logger.wandb.log({
+                    "eval/self_recon": logger.wandb.Audio(
+                        self_wav, sample_rate=cfg.audio.sample_rate),
+                    "eval/cross_speaker": logger.wandb.Audio(
+                        cross_wav, sample_rate=cfg.audio.sample_rate)})
+        except Exception as e:
+            logger.print(f"eval sample generation failed: {e}")
+
     state = loop.fit(state, jit_train, train_loader, epochs=cfg.epochs,
                      logger=logger, eval_step=jit_eval,
                      eval_loader=eval_loader, ckpt=ckpt,
                      save_step=cfg.save_step, print_step=cfg.print_step,
-                     to_device=to_dev, start_step=int(step0 or 0))
+                     to_device=to_dev, start_step=int(step0 or 0),
+                     on_epoch_end=on_epoch_end)
     return state
 
 
