@@ -278,28 +278,6 @@ def run_vocoder_training(cfg: GenVCConfig):
     disc_params, cqt_statics = vocoder_stage.init_discriminators(
         kd, cfg.vocoder_config)
 
-    import optax
-
-    op = cfg.optimizer_params or {"betas": [0.8, 0.99], "eps": 1e-8,
-                                  "weight_decay": 1e-6}
-    lr = cfg.lr if isinstance(cfg.lr, float) else cfg.lr[0]
-
-    def make_tx():
-        return optax.adamw(lr, b1=op["betas"][0], b2=op["betas"][1],
-                           eps=op.get("eps", 1e-8),
-                           weight_decay=0.0)  # reference AdamW without wd arg
-
-    gen_tx, disc_tx = make_tx(), make_tx()
-    state = vocoder_stage.VocoderTrainState(
-        gen_params, disc_params, gen_tx.init(gen_params),
-        disc_tx.init(disc_params), jnp.int32(0))
-    scale = int(ma.gpt_code_stride_len // cfg.vocoder_config.hop_length)
-    train_step, eval_step = vocoder_stage.make_train_step(
-        frozen, gpt_params, gcfg, cfg.vocoder_config, cqt_statics,
-        gen_tx, disc_tx, scale_factor=scale)
-    jit_train = jax.jit(train_step, donate_argnums=(0,))
-    jit_eval = jax.jit(eval_step)
-
     train_ds = VCWaveDataset(VCDatasetConfig(
         meta_file=cfg.train_metafile, sample_rate=cfg.audio.sample_rate,
         text_frame_rate=cfg.text_frame_rate,
@@ -319,6 +297,32 @@ def run_vocoder_training(cfg: GenVCConfig):
                                num_workers=cfg.num_loader_workers)
     eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
                               num_workers=cfg.num_loader_workers)
+
+    import optax
+
+    op = cfg.optimizer_params or {"betas": [0.8, 0.99], "eps": 1e-8,
+                                  "weight_decay": 1e-6}
+    lr = cfg.lr if isinstance(cfg.lr, float) else cfg.lr[0]
+    # ExponentialLR per epoch (reference get_scheduler,
+    # hifigan_trainer.py:574-591, gamma = lr_decay)
+    sched = optim.exponential_epoch_schedule(lr, cfg.lr_decay,
+                                             max(len(train_loader), 1))
+
+    def make_tx():
+        return optax.adamw(sched, b1=op["betas"][0], b2=op["betas"][1],
+                           eps=op.get("eps", 1e-8),
+                           weight_decay=0.0)  # reference AdamW without wd arg
+
+    gen_tx, disc_tx = make_tx(), make_tx()
+    state = vocoder_stage.VocoderTrainState(
+        gen_params, disc_params, gen_tx.init(gen_params),
+        disc_tx.init(disc_params), jnp.int32(0))
+    scale = int(ma.gpt_code_stride_len // cfg.vocoder_config.hop_length)
+    train_step, eval_step = vocoder_stage.make_train_step(
+        frozen, gpt_params, gcfg, cfg.vocoder_config, cqt_statics,
+        gen_tx, disc_tx, scale_factor=scale)
+    jit_train = jax.jit(train_step, donate_argnums=(0,))
+    jit_eval = jax.jit(eval_step)
 
     ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
                                   cfg.save_n_checkpoints)
