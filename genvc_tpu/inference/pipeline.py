@@ -210,7 +210,10 @@ class GenVCPipeline:
                                  chunk_valid):
             """Up to 5 statically padded 6 s reference chunks -> masked-mean
             speaker latent (1, 32, D); invalid chunk rows drop out of the
-            mean. One dispatch instead of one per chunk."""
+            mean. One dispatch instead of one per chunk. ``ref_chunks`` ships
+            as int16 PCM (exact for PCM16 sources, halves the host->device
+            transfer) and converts on device."""
+            ref_chunks = ref_chunks.astype(jnp.float32) / 32768.0
             m = mel_mod.mel_torchaudio(ref_chunks, style_spec, mel_norms,
                                        pre_padded=True)
             n_frames = m.shape[-1]
@@ -265,7 +268,7 @@ class GenVCPipeline:
         pad_fft = self.style_spec.n_fft // 2
         static_w = self._cond_chunk + 2 * pad_fft
         n_max = COND_MAX_SECONDS // COND_CHUNK_SECONDS
-        chunks = np.zeros((n_max, static_w), np.float32)
+        chunks = np.zeros((n_max, static_w), np.float32)  # quantized to int16 on return
         n_frames = np.zeros((n_max,), np.int32)
         valid = np.zeros((n_max,), bool)
         row = 0
@@ -279,7 +282,8 @@ class GenVCPipeline:
             n_frames[row] = t_real // self.style_spec.hop_length + 1
             valid[row] = True
             row += 1
-        return chunks, n_frames, valid
+        pcm = np.clip(np.rint(chunks * 32768.0), -32768, 32767).astype(np.int16)
+        return pcm, n_frames, valid
 
     def get_gpt_cond_latents(self, ref_audio: np.ndarray) -> jnp.ndarray:
         """(1, T) 24 kHz reference audio -> (1, 32, D) speaker latents
