@@ -392,8 +392,7 @@ class GenVCPipeline:
             lat = self._latent_fn(self.gpt_params, codes,
                                   jnp.asarray([n_codes], jnp.int32),
                                   jnp.asarray(gen_arr),
-                                  jnp.asarray([n * self.gpt_cfg.code_stride_len],
-                                              jnp.int32),
+                                  jnp.asarray([n], jnp.int32),
                                   self._cond_latent)
             final_latents.append(np.asarray(lat)[0, :n])
         lat_all = np.concatenate(final_latents, axis=0)
@@ -571,8 +570,7 @@ class GenVCPipeline:
             gen_arr = jnp.zeros((1, LATENT_BUCKET), jnp.int32)
             self._latent_fn(self.gpt_params, codes,
                             jnp.asarray([60], jnp.int32), gen_arr,
-                            jnp.asarray([60 * self.gpt_cfg.code_stride_len],
-                                        jnp.int32),
+                            jnp.asarray([60], jnp.int32),
                             self._cond_latent)
             jax.block_until_ready(n_gen)
 

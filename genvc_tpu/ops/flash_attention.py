@@ -33,7 +33,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, kv_valid_ref, o_ref, *, scale, causal):
     t = k.shape[0]
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (BQ, T)
     col = jax.lax.broadcasted_iota(jnp.int32, (BQ, t), 1)
-    valid = kv_valid_ref[0][None, :] != 0
+    valid = kv_valid_ref[0, 0][None, :] != 0
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (BQ, t), 0) + iq * BQ
         valid = valid & (col <= row)
@@ -67,7 +67,9 @@ def _pallas_attention(q, k, v, kv_valid, scale, causal, interpret=False):
     qf = q.reshape(b * h, t_pad, hd)
     kf = k.reshape(b * h, t_pad, hd)
     vf = v.reshape(b * h, t_pad, hd)
-    validf = jnp.repeat(kv_valid.astype(jnp.int32), h, axis=0)  # (B*H, T)
+    # (B*H, 1, T): the singleton axis keeps the block's trailing dims equal to
+    # the array dims, as the TPU lowering requires
+    validf = jnp.repeat(kv_valid.astype(jnp.int32), h, axis=0)[:, None, :]
 
     kernel = functools.partial(_attn_kernel, scale=scale, causal=causal)
     out = pl.pallas_call(
@@ -80,7 +82,7 @@ def _pallas_attention(q, k, v, kv_valid, scale, causal, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, hd), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad), lambda bh, iq: (bh, 0),
+            pl.BlockSpec((1, 1, t_pad), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BQ, hd), lambda bh, iq: (bh, iq, 0),

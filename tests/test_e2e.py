@@ -99,3 +99,29 @@ def test_cond_latent_batch_matches_loop(pipe):
     batch = np.asarray(pipe.get_gpt_cond_latents(ref))
     loop = np.asarray(pipe._get_gpt_cond_latents_loop(ref))
     np.testing.assert_allclose(batch, loop, rtol=2e-4, atol=2e-4)
+
+
+def test_latent_pass_bucketed_matches_exact_width(pipe):
+    """Teacher-forced latent re-forward: bucketed static width must equal the
+    reference's exact width (n+3) at the first n positions."""
+    from genvc_tpu.models import gpt as gpt_model
+    rng = np.random.default_rng(9)
+    n = 21
+    gen = rng.integers(0, 1024, n)
+    codes, n_codes = pipe.extract_content_codes(
+        (rng.standard_normal((1, 8000)) * 0.1).astype(np.float32))
+    cond = pipe.get_gpt_cond_latents(
+        (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32))
+
+    def run(wm):
+        arr = np.zeros((1, wm), np.int32)
+        arr[0, :n] = gen
+        lat = pipe._latent_fn(pipe.gpt_params, codes,
+                              jnp.asarray([n_codes], jnp.int32),
+                              jnp.asarray(arr), jnp.asarray([n], jnp.int32),
+                              cond)
+        return np.asarray(lat)[0, :n]
+
+    exact = run(n + 3)        # reference width: max(code_lengths) = n+3
+    bucketed = run(64)
+    np.testing.assert_allclose(bucketed, exact, rtol=2e-4, atol=2e-4)
