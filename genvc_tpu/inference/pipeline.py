@@ -92,6 +92,17 @@ class GenVCPipeline:
         self.pipeline_depth: int = 6
         self._build_jits()
 
+    def _host_n_codes(self, t_real: int) -> int:
+        """Content-code count for a segment of ``t_real`` samples — the exact
+        host-side mirror of the device conv stride chains (ContentVec
+        extractor + content dVAE), so no device fetch is needed to know it."""
+        valid = t_real
+        for _, k, s in contentvec.CONV_LAYERS:
+            valid = max((valid - k) // s + 1, 0)
+        for _ in range(self.content_dvae_cfg.num_layers):
+            valid = (valid - 1) // 2 + 1
+        return valid
+
     def _max_new(self, n_codes: int) -> int:
         max_new = self.gpt_cfg.max_gen_mel_tokens
         if self.gen_cap_tokens_per_code is not None:
@@ -442,9 +453,10 @@ class GenVCPipeline:
             # start the device->host copies as soon as the chunk is dispatched
             # so the consuming device_get is a local cache hit (fetch latency
             # overlaps decode instead of serializing after it)
-            _, toks, _, _, wav = chunk
+            _, toks, _, pre_fin, wav = chunk
             try:
                 toks.copy_to_host_async()
+                pre_fin.copy_to_host_async()
                 wav.copy_to_host_async()
             except Exception:
                 pass
@@ -475,23 +487,18 @@ class GenVCPipeline:
             # host<->device round trip amortizes over depth x chunk compute.
             # Chunks decoded past EOS are garbage (finished rows emit stop
             # tokens) and are simply dropped.
-            n_dispatched = 1
-            while len(inflight) < depth:
+            # n_codes is a deterministic function of the segment length
+            # (conv stride chains) — computed on host so the latency path has
+            # ZERO scalar fetches before the first audio chunk
+            n_codes = self._host_n_codes(t_real)
+            max_new = self._max_new(n_codes)
+            n_total = 1
+            while len(inflight) < depth and n_total + len(inflight) * csz < max_new:
                 inflight.append(prefetch(self._stream_chunk_fn(
                     self.gpt_params, self.hifigan_params, inflight[-1][0],
                     csz, empty_carry)))
-                n_dispatched += 1
-            tok0_np, n_codes = jax.device_get((tok0, n_codes_dev))
-            tok0_np, n_codes = int(tok0_np[0]), int(n_codes[0])
-            max_new = self._max_new(n_codes)
-            n_total = 1
-            if tok0_np == stop:
-                # EOS at the very first token: vocode just the prefill latent
-                wav_gen = self._vocode_fn(self.hifigan_params,
-                                          lat0[:, None, :], 1)
-                emit(np.asarray(wav_gen)[0])
-                continue
 
+            first_chunk = True
             while inflight:
                 st, toks, lats, pre_fin, wav = inflight.pop(0)
                 # top up the pipeline before consuming this chunk
@@ -500,8 +507,17 @@ class GenVCPipeline:
                     inflight.append(prefetch(self._stream_chunk_fn(
                         self.gpt_params, self.hifigan_params, tail_state, csz,
                         empty_carry)))
-                toks_np, wav_np = jax.device_get((toks, wav))  # one sync
+                toks_np, wav_np, pre_fin_np = jax.device_get(
+                    (toks, wav, pre_fin))  # one sync
                 toks_np = toks_np[0]
+                if first_chunk and bool(pre_fin_np[0, 0]):
+                    # EOS at the very first (prefill-sampled) token: the
+                    # reference vocodes just that token's latent
+                    wav_gen = self._vocode_fn(self.hifigan_params,
+                                              lats[:, :1], 1)
+                    emit(np.asarray(wav_gen)[0])
+                    break
+                first_chunk = False
                 k = len(toks_np)
                 carry = csz - k
                 eos_j = None
