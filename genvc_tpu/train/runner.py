@@ -107,11 +107,39 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
 
     to_dev = lambda b: mesh_lib.shard_batch(
         jax.tree.map(jnp.asarray, b), mesh)
+
+    def on_epoch_end(state, epoch, step):
+        # input-vs-reconstruction spectrogram images
+        # (reference VAE_trainer eval_step + wandb table, VAE_trainer.py:134-141)
+        if not logger.is_main:
+            return
+        try:
+            from genvc_tpu.models import dvae as dvae_mod
+            from genvc_tpu.utils import plot_feat
+
+            batch = to_dev(next(iter(eval_loader)))
+            feat = feat_fn(batch["wav"])
+            _, _, recon, _, _ = dvae_mod.forward_train(state.params, feat, dcfg)
+            img_dir = os.path.join(cfg.output_path, "eval_plots")
+            os.makedirs(img_dir, exist_ok=True)
+            plot_feat(np.asarray(feat)[0],
+                      os.path.join(img_dir, f"e{epoch}_input.png"))
+            plot_feat(np.asarray(recon)[0],
+                      os.path.join(img_dir, f"e{epoch}_recon.png"))
+            if logger.wandb is not None:
+                logger.wandb.log({
+                    "eval/input": logger.wandb.Image(
+                        os.path.join(img_dir, f"e{epoch}_input.png")),
+                    "eval/recon": logger.wandb.Image(
+                        os.path.join(img_dir, f"e{epoch}_recon.png"))})
+        except Exception as e:
+            logger.print(f"eval plot failed: {e}")
+
     state = loop.fit(state, jit_train, train_loader, epochs=cfg.epochs,
                      logger=logger, eval_step=jit_eval,
                      eval_loader=eval_loader, ckpt=ckpt,
                      save_step=cfg.save_step, to_device=to_dev,
-                     start_step=int(step0 or 0))
+                     start_step=int(step0 or 0), on_epoch_end=on_epoch_end)
     return state
 
 

@@ -10,7 +10,7 @@ def main():
     ap.add_argument("--train_metafile", default="metafiles/libritts/train.txt")
     ap.add_argument("--test_metafile", default="metafiles/libritts/test.txt")
     ap.add_argument("--mel_norm_file",
-                    default="/root/reference/pre_trained/mel_stats.pth")
+                    default="pre_trained/mel_stats.npy")
     ap.add_argument("--output_path", default="exp/audio_dvae")
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=200)

@@ -11,7 +11,7 @@ def main():
     ap.add_argument("--train_metafile", default="metafiles/libritts/train.txt")
     ap.add_argument("--test_metafile", default="metafiles/libritts/test.txt")
     ap.add_argument("--mel_norm_file",
-                    default="/root/reference/pre_trained/mel_stats.pth")
+                    default="pre_trained/mel_stats.npy")
     ap.add_argument("--acoustic_dvae_checkpoint",
                     default="pre_trained/acoustic_dvae.pth")
     ap.add_argument("--content_dvae_checkpoint",
