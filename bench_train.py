@@ -60,8 +60,9 @@ def main():
     tx = optim.adamw_grouped(optim.multistep_schedule(1e-4, [10000], 0.5),
                              params=params)
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
-    train_step, _ = gpt_stage.make_train_step(gcfg, frozen, tx)
-    jit_step = jax.jit(train_step, donate_argnums=(0,))
+    train_step, _ = gpt_stage.make_train_step(gcfg, tx)
+    _jit = jax.jit(train_step, donate_argnums=(0,))
+    jit_step = lambda s, b: _jit(s, b, frozen)
 
     rng = np.random.default_rng(0)
     t_wav = text_len * 1920

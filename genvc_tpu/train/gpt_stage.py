@@ -37,7 +37,13 @@ class GPTTrainState(NamedTuple):
 
 @dataclasses.dataclass
 class FrozenModules:
-    """Frozen feature extractors shared by the GPT and vocoder stages."""
+    """Frozen feature extractors shared by the GPT and vocoder stages.
+
+    Registered as a jax pytree (param trees are leaves, configs are static
+    metadata) so it is passed to jitted steps as an ARGUMENT — closing over
+    hundreds of MB of frozen weights would embed them as compile-time HLO
+    constants (pathological compiles / oversized remote-compile payloads).
+    """
 
     contentvec_params: dict
     acoustic_dvae_params: dict
@@ -50,6 +56,15 @@ class FrozenModules:
     sample_rate: int = 24000
     content_sample_rate: int = 16000
     text_frame_rate: float = 0.02
+
+
+jax.tree_util.register_dataclass(
+    FrozenModules,
+    data_fields=["contentvec_params", "acoustic_dvae_params",
+                 "content_dvae_params", "mel_norms"],
+    meta_fields=["acoustic_dvae_cfg", "content_dvae_cfg", "style_spec",
+                 "dvae_spec", "sample_rate", "content_sample_rate",
+                 "text_frame_rate"])
 
 
 def make_frozen(cfg: GenVCConfig, tree: dict, mel_norms) -> FrozenModules:
@@ -141,11 +156,14 @@ def loss_fn(params, gcfg: gpt_model.GPTConfig, feats: dict,
                   "loss_mel_ce": loss_mel, "top10acc": top10}
 
 
-def make_train_step(gcfg: gpt_model.GPTConfig, frozen: FrozenModules,
+def make_train_step(gcfg: gpt_model.GPTConfig,
                     tx: optax.GradientTransformation,
                     text_ce_weight: float = 0.01, mel_ce_weight: float = 1.0,
                     fix_condition_embeddings: bool = True):
-    def train_step(state: GPTTrainState, batch: dict):
+    """Returns (train_step, eval_step); both take the FrozenModules pytree as
+    an explicit argument (see FrozenModules docstring)."""
+
+    def train_step(state: GPTTrainState, batch: dict, frozen: FrozenModules):
         feats = jax.lax.stop_gradient(prepare_features(frozen, batch))
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, gcfg, feats, text_ce_weight, mel_ce_weight,
@@ -154,7 +172,7 @@ def make_train_step(gcfg: gpt_model.GPTConfig, frozen: FrozenModules,
         params = optax.apply_updates(state.params, updates)
         return GPTTrainState(params, opt_state, state.step + 1), metrics
 
-    def eval_step(params, batch: dict):
+    def eval_step(params, batch: dict, frozen: FrozenModules):
         feats = prepare_features(frozen, batch)
         _, metrics = loss_fn(params, gcfg, feats, text_ce_weight,
                              mel_ce_weight, fix_condition_embeddings)

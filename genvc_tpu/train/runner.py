@@ -74,10 +74,11 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
     logger.print(f"devices: {jax.devices()}")
 
     mel_norms = _load_mel_norms(cfg.mel_norm_file)
-    cv_params = None
     if cfg.feat_type != "Mel-spectrogram":
-        cv_params = _load_contentvec(cfg.contentvec_model_path)
-    feat_fn = vae_stage.make_feature_fn(cfg, mel_norms, cv_params)
+        feat_params = _load_contentvec(cfg.contentvec_model_path)
+    else:
+        feat_params = mel_norms
+    feat_fn = vae_stage.make_feature_fn(cfg)
 
     dcfg = vae_stage.dvae_cfg_from(cfg)
     params = dvae.init_params(jax.random.key(1994), dcfg)
@@ -86,8 +87,10 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
     tx = vae_stage.make_optimizer(cfg)
     state = vae_stage.VAETrainState(params, tx.init(params), jnp.int32(0))
     train_step, eval_step = vae_stage.make_train_step(cfg, feat_fn, tx)
-    jit_train = jax.jit(train_step, donate_argnums=(0,))
-    jit_eval = jax.jit(lambda s, b: eval_step(s.params, b))
+    _jit_train = jax.jit(train_step, donate_argnums=(0,))
+    _jit_eval = jax.jit(lambda s, b, fp: eval_step(s.params, b, fp))
+    jit_train = lambda s, b: _jit_train(s, b, feat_params)
+    jit_eval = lambda s, b: _jit_eval(s, b, feat_params)
 
     train_ds = WaveformDVAEDataset(cfg.train_metafile, False,
                                    cfg.audio.dvae_sample_rate, cfg.max_wav_len)
@@ -118,7 +121,7 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
             from genvc_tpu.utils import plot_feat
 
             batch = to_dev(next(iter(eval_loader)))
-            feat = feat_fn(batch["wav"])
+            feat = feat_fn(feat_params, batch["wav"])
             _, _, recon, _, _ = dvae_mod.forward_train(state.params, feat, dcfg)
             img_dir = os.path.join(cfg.output_path, "eval_plots")
             os.makedirs(img_dir, exist_ok=True)
@@ -211,12 +214,14 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
 
     train_step, eval_step = gpt_stage.make_train_step(
-        gcfg, frozen, tx,
+        gcfg, tx,
         text_ce_weight=ma.gpt_loss_text_ce_weight,
         mel_ce_weight=ma.gpt_loss_mel_ce_weight,
         fix_condition_embeddings=ma.gpt_fix_condition_embeddings)
-    jit_train = jax.jit(train_step, donate_argnums=(0,))
-    jit_eval = jax.jit(lambda s, b: eval_step(s.params, b))
+    _jit_train = jax.jit(train_step, donate_argnums=(0,))
+    _jit_eval = jax.jit(lambda s, b, fz: eval_step(s.params, b, fz))
+    jit_train = lambda s, b: _jit_train(s, b, frozen)
+    jit_eval = lambda s, b: _jit_eval(s, b, frozen)
 
     ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
                                   cfg.save_n_checkpoints)
@@ -347,10 +352,12 @@ def run_vocoder_training(cfg: GenVCConfig):
         disc_tx.init(disc_params), jnp.int32(0))
     scale = int(ma.gpt_code_stride_len // cfg.vocoder_config.hop_length)
     train_step, eval_step = vocoder_stage.make_train_step(
-        frozen, gpt_params, gcfg, cfg.vocoder_config, cqt_statics,
+        gcfg, cfg.vocoder_config, cqt_statics,
         gen_tx, disc_tx, scale_factor=scale)
-    jit_train = jax.jit(train_step, donate_argnums=(0,))
-    jit_eval = jax.jit(eval_step)
+    _jit_train = jax.jit(train_step, donate_argnums=(0,))
+    _jit_eval = jax.jit(eval_step)
+    jit_train = lambda s, b: _jit_train(s, b, frozen, gpt_params)
+    jit_eval = lambda s, b: _jit_eval(s, b, frozen, gpt_params)
 
     ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
                                   cfg.save_n_checkpoints)

@@ -35,22 +35,24 @@ def dvae_cfg_from(config: VAEConfig) -> dvae.DVAEConfig:
         kernel_size=config.kernel_size, num_layers=config.num_layers)
 
 
-def make_feature_fn(config: VAEConfig, mel_norms=None,
-                    contentvec_params=None):
+def make_feature_fn(config: VAEConfig):
+    """Returns feat_fn(feat_params, wav): feat_params is the mel-norms array
+    (Mel type) or the ContentVec param pytree — passed as a jit ARGUMENT so
+    frozen extractor weights never become compile-time constants."""
     if config.feat_type == "Mel-spectrogram":
         spec = mel_mod.MelSpec(
             sample_rate=config.audio.sample_rate, n_fft=1024, win_length=1024,
             hop_length=256, n_mels=80, fmin=0, fmax=8000.0, scale="htk")
 
-        def feat_fn(wav):
-            m = mel_mod.mel_torchaudio(wav[:, 0, :], spec, mel_norms)
+        def feat_fn(feat_params, wav):
+            m = mel_mod.mel_torchaudio(wav[:, 0, :], spec, feat_params)
             t = m.shape[-1] - (m.shape[-1] % 4)
             return m[:, :, :t]
 
     elif config.feat_type == "ContentVec":
-        def feat_fn(wav):
+        def feat_fn(feat_params, wav):
             feats = contentvec.extract_content_features(
-                contentvec_params, wav[:, 0, :])
+                feat_params, wav[:, 0, :])
             m = jnp.swapaxes(feats, 1, 2)
             t = m.shape[-1] - (m.shape[-1] % 4)
             return m[:, :, :t]
@@ -58,9 +60,9 @@ def make_feature_fn(config: VAEConfig, mel_norms=None,
     elif config.feat_type == "W2V2_BERT":
         # mHuBERT-style conv-extractor-only features
         # (reference MultiLingualContentExtractor, content_processor.py:36-52)
-        def feat_fn(wav):
+        def feat_fn(feat_params, wav):
             feats = contentvec.extract_conv_features(
-                contentvec_params, wav[:, 0, :])
+                feat_params, wav[:, 0, :])
             m = jnp.swapaxes(feats, 1, 2)
             t = m.shape[-1] - (m.shape[-1] % 4)
             return m[:, :, :t]
@@ -79,8 +81,8 @@ def make_train_step(config: VAEConfig, feat_fn, tx,
             params, feat, cfg, axis_name=axis_name)
         return recon + commit, (recon, commit, new_cb, codes)
 
-    def train_step(state: VAETrainState, batch: dict):
-        feat = jax.lax.stop_gradient(feat_fn(batch["wav"]))
+    def train_step(state: VAETrainState, batch: dict, feat_params=None):
+        feat = jax.lax.stop_gradient(feat_fn(feat_params, batch["wav"]))
         (total, (recon, commit, new_cb, codes)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, feat)
         # codebook leaves are EMA-updated, not gradient-updated
@@ -92,8 +94,8 @@ def make_train_step(config: VAEConfig, feat_fn, tx,
                    "commitment_loss": commit}
         return VAETrainState(params, opt_state, state.step + 1), metrics
 
-    def eval_step(params, batch: dict):
-        feat = feat_fn(batch["wav"])
+    def eval_step(params, batch: dict, feat_params=None):
+        feat = feat_fn(feat_params, batch["wav"])
         recon, commit, out, _, _ = dvae.forward_train(params, feat, cfg)
         return {"loss": recon + commit, "recon_loss": recon,
                 "commitment_loss": commit}

@@ -90,9 +90,11 @@ def prepare_vocoder_batch(frozen: FrozenModules, gpt_params,
     return latents, wav[:, None, :]
 
 
-def make_train_step(frozen: FrozenModules, gpt_params,
-                    gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
+def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                     cqt_statics, gen_tx, disc_tx, scale_factor: int = 4):
+    """Returns (train_step, eval_step); FrozenModules and the frozen GPT
+    params are explicit arguments (kept out of the closure so they are jit
+    arguments, not giant compile-time constants)."""
     def render(gen_params, latents):
         x = jnp.swapaxes(latents, 1, 2)
         x = linear_interp_x4(x, scale_factor)
@@ -124,7 +126,8 @@ def make_train_step(frozen: FrozenModules, gpt_params,
         total = total + ml
         return total, (per, y_hat)
 
-    def train_step(state: VocoderTrainState, batch: dict):
+    def train_step(state: VocoderTrainState, batch: dict,
+                   frozen: FrozenModules, gpt_params):
         latents, wav_gt = jax.lax.stop_gradient(
             prepare_vocoder_batch(frozen, gpt_params, gcfg, batch))
 
@@ -150,7 +153,8 @@ def make_train_step(frozen: FrozenModules, gpt_params,
         return VocoderTrainState(gen_params, disc_params, gen_opt, disc_opt,
                                  state.step + 1), metrics
 
-    def eval_step(state: VocoderTrainState, batch: dict):
+    def eval_step(state: VocoderTrainState, batch: dict,
+                  frozen: FrozenModules, gpt_params):
         latents, wav_gt = prepare_vocoder_batch(frozen, gpt_params, gcfg, batch)
         y_hat = render(state.gen_params, latents)
         d_loss, _ = disc_loss_fn(state.disc_params, wav_gt, y_hat)

@@ -44,7 +44,7 @@ def test_vae_train_step_runs_and_improves():
                     grad_clip_norm=0.5, lr=1e-3)
     mel_norms = jnp.ones((13,))
     # bypass the mel: feed raw features via an identity feature fn
-    feat_fn = lambda wav: wav[:, :, : wav.shape[-1] - wav.shape[-1] % 4]
+    feat_fn = lambda fp, wav: wav[:, :, : wav.shape[-1] - wav.shape[-1] % 4]
     tx = vae_stage.make_optimizer(cfg)
     dcfg = vae_stage.dvae_cfg_from(cfg)
     params = dvae.init_params(jax.random.key(0), dcfg)
@@ -136,8 +136,7 @@ def test_vocoder_train_step_smoke():
         gen_params, disc_params, gen_tx.init(gen_params),
         disc_tx.init(disc_params), jnp.int32(0))
     train_step, eval_step = vocoder_stage.make_train_step(
-        frozen, gpt_params, gcfg, cfg.vocoder_config, cqt_statics,
-        gen_tx, disc_tx)
+        gcfg, cfg.vocoder_config, cqt_statics, gen_tx, disc_tx)
 
     rng = np.random.default_rng(0)
     t_wav = 8 * 1920  # 8-token segments like the reference vocoder stage
@@ -149,7 +148,7 @@ def test_vocoder_train_step_smoke():
         "cond_lens": jnp.full((2,), 24000, jnp.int32),
         "text_lengths": jnp.full((2,), t_wav // 1920, jnp.int32),
     }
-    new_state, metrics = jax.jit(train_step)(state, batch)
+    new_state, metrics = jax.jit(train_step)(state, batch, frozen, gpt_params)
     for k in ("loss_disc", "loss_gen", "mel_loss"):
         assert np.isfinite(float(metrics[k])), (k, metrics[k])
     # params actually moved
