@@ -137,8 +137,7 @@ class GenVCPipeline:
             for _, k, s in contentvec.CONV_LAYERS:
                 valid = jnp.maximum((valid - k) // s + 1, 0)
             codes = dvae.get_codebook_indices(
-                self.content_dvae_params, feats, self.content_dvae_cfg,
-                valid_len=valid)
+                cd_params, feats, self.content_dvae_cfg, valid_len=valid)
             n_codes = valid
             for _ in range(self.content_dvae_cfg.num_layers):
                 n_codes = (n_codes - 1) // 2 + 1
