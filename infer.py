@@ -29,11 +29,25 @@ def main():
                         help="run the GPT decode in bfloat16")
     args = parser.parse_args()
 
+    import os
+
+    import jax
+
+    try:  # persistent compile cache: repeat invocations skip minutes of compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/genvc_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from genvc_tpu.dsp.audio_io import load_audio, write_wav
     from genvc_tpu.inference.pipeline import model_init
 
+    if not os.path.exists(args.model_path):
+        print(f"model checkpoint not found: {args.model_path}", file=sys.stderr)
+        sys.exit(1)
     pipe = model_init(args.model_path,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                       seed=args.seed)
