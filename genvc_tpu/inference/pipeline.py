@@ -87,9 +87,12 @@ class GenVCPipeline:
         # compute match a trained checkpoint (audio codes are ~1.875× content
         # codes: 23.44 Hz vs 12.5 Hz)
         self.gen_cap_tokens_per_code: float | None = None
-        # streaming chunks kept in flight; raise when dispatch/fetch round-trip
+        # streaming calls kept in flight; raise when dispatch/fetch round-trip
         # latency is high relative to per-chunk compute (e.g. remote tunnels)
-        self.pipeline_depth: int = 6
+        self.pipeline_depth: int = 4
+        # chunks decoded+vocoded per device call (each chunk still emitted as
+        # a standalone 8-token window, byte-identical to single-chunk calls)
+        self.chunks_per_call: int = 2
         self._build_jits()
 
     def _host_n_codes(self, t_real: int) -> int:
@@ -203,13 +206,22 @@ class GenVCPipeline:
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def stream_chunk_fn(gpt_params, hifi_params, state, k, carry_latents):
+            """k decode steps + per-8-latent-window vocoding in one dispatch.
+            carry width + k must be a multiple of STREAM_CHUNK; each window is
+            vocoded EXACTLY like a standalone reference chunk (independent
+            conv context), so emitting w windows per call is byte-identical to
+            w single-chunk calls — it just halves dispatch/fetch round trips.
+            Returns wavs stacked (n_windows, chunk*1024)."""
             st, toks, lats, pre_fin = engine.decode_chunk(
                 gpt_params, gcfg, state, sampler, chunk=k)
             all_lats = jnp.concatenate([carry_latents, lats], axis=1)
-            x = jnp.swapaxes(all_lats, 1, 2)
+            n_windows = all_lats.shape[1] // STREAM_CHUNK
+            win = all_lats[:, : n_windows * STREAM_CHUNK].reshape(
+                n_windows, STREAM_CHUNK, all_lats.shape[-1])
+            x = jnp.swapaxes(win, 1, 2)
             x = linear_interp_x4(x, self.hifigan_scale_factor)
-            wav = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
-            return st, toks, all_lats, pre_fin, wav
+            wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
+            return st, toks, all_lats, pre_fin, wavs
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def decode_all_fn(gpt_params, state, max_new):
@@ -492,22 +504,27 @@ class GenVCPipeline:
             n_codes = self._host_n_codes(t_real)
             max_new = self._max_new(n_codes)
             n_total = 1
-            while len(inflight) < depth and n_total + len(inflight) * csz < max_new:
+            call_sz = csz * self.chunks_per_call
+            while (len(inflight) < depth and
+                   n_total + sum(c[1].shape[1] for c in inflight) < max_new):
                 inflight.append(prefetch(self._stream_chunk_fn(
                     self.gpt_params, self.hifigan_params, inflight[-1][0],
-                    csz, empty_carry)))
+                    call_sz, empty_carry)))
 
             first_chunk = True
-            while inflight:
-                st, toks, lats, pre_fin, wav = inflight.pop(0)
-                # top up the pipeline before consuming this chunk
-                if n_total + len(inflight) * csz + csz < max_new:
+            seg_done = False
+            while inflight and not seg_done:
+                st, toks, lats, pre_fin, wavs = inflight.pop(0)
+                # top up the pipeline before consuming this call (each later
+                # call is chunks_per_call chunks of csz)
+                queued = sum(c[1].shape[1] for c in inflight)
+                if n_total + queued + call_sz < max_new:
                     tail_state = inflight[-1][0] if inflight else st
                     inflight.append(prefetch(self._stream_chunk_fn(
-                        self.gpt_params, self.hifigan_params, tail_state, csz,
-                        empty_carry)))
-                toks_np, wav_np, pre_fin_np = jax.device_get(
-                    (toks, wav, pre_fin))  # one sync
+                        self.gpt_params, self.hifigan_params, tail_state,
+                        call_sz, empty_carry)))
+                toks_np, wavs_np, pre_fin_np = jax.device_get(
+                    (toks, wavs, pre_fin))  # one sync
                 toks_np = toks_np[0]
                 if first_chunk and bool(pre_fin_np[0, 0]):
                     # EOS at the very first (prefill-sampled) token: the
@@ -518,7 +535,7 @@ class GenVCPipeline:
                     break
                 first_chunk = False
                 k = len(toks_np)
-                carry = csz - k
+                carry = (csz - k % csz) % csz
                 eos_j = None
                 for j, t in enumerate(toks_np):
                     if n_total + j + 1 > max_new:
@@ -529,18 +546,22 @@ class GenVCPipeline:
                         break
                 if eos_j is None and n_total + k >= max_new:
                     eos_j = k - 1
-                if eos_j is None:
-                    emit(wav_np[0])
-                    n_total += k
-                else:
-                    n_valid = carry + eos_j + 1
-                    if n_valid == csz:
-                        emit(wav_np[0])
-                    elif n_valid > 0:
+                # emit complete windows up to (and including) the EOS window
+                n_lat_valid = carry + (k if eos_j is None else eos_j + 1)
+                n_windows = wavs_np.shape[0]
+                full = n_lat_valid // csz
+                for w in range(min(full, n_windows)):
+                    emit(wavs_np[w])
+                rem = n_lat_valid - full * csz
+                if eos_j is not None:
+                    if rem > 0:
                         wav_gen = self._vocode_fn(
-                            self.hifigan_params, lats[:, :n_valid], n_valid)
+                            self.hifigan_params,
+                            lats[:, full * csz : full * csz + rem], rem)
                         emit(np.asarray(wav_gen)[0])
-                    break
+                    seg_done = True
+                else:
+                    n_total += k
 
         wav = np.concatenate(pred_audios, axis=-1)
         elapsed = time.perf_counter() - begin
@@ -568,9 +589,10 @@ class GenVCPipeline:
             cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
                                         state, STREAM_CHUNK - 1,
                                         lat0[:, None, :])
-            cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
-                                        cur[0], STREAM_CHUNK,
-                                        jnp.zeros((1, 0, d), jnp.float32))
+            cur = self._stream_chunk_fn(
+                self.gpt_params, self.hifigan_params, cur[0],
+                STREAM_CHUNK * self.chunks_per_call,
+                jnp.zeros((1, 0, d), jnp.float32))
             for c in range(1, STREAM_CHUNK + 1):
                 lat = jnp.zeros((1, c, d), jnp.float32)
                 self._vocode_fn(self.hifigan_params, lat, c)

@@ -125,3 +125,58 @@ def test_latent_pass_bucketed_matches_exact_width(pipe):
     exact = run(n + 3)        # reference width: max(code_lengths) = n+3
     bucketed = run(64)
     np.testing.assert_allclose(bucketed, exact, rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_multi_segment(pipe):
+    """Source longer than 6 s crosses the segment boundary (exercises the
+    non-first-segment prefill path and segment-carry crossfade)."""
+    rng = np.random.default_rng(11)
+    src = (rng.standard_normal((1, int(16000 * 7.5))) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    old_cap = pipe.gen_cap_tokens_per_code
+    pipe.gen_cap_tokens_per_code = 1.0  # keep tiny-model runtime bounded
+    try:
+        wav, lat, rtf = pipe.synthesize_streaming(src, ref, verbose=False)
+        wav2 = pipe.synthesize(src, ref)
+    finally:
+        pipe.gen_cap_tokens_per_code = old_cap
+    assert wav.shape[0] > 16000  # several chunks of audio emitted
+    assert np.all(np.abs(wav) <= 1.0)
+    assert wav2.shape[0] % 1024 == 0 and wav2.shape[0] > 0
+
+
+def test_stream_multiwindow_call_matches_single(pipe):
+    """chunks_per_call=2 must emit byte-identical windows to single-chunk
+    calls (greedy decoding)."""
+    from genvc_tpu.decode.engine import SamplerConfig
+
+    old = pipe.sampler
+    pipe.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                 repetition_penalty=1.0, do_sample=False)
+    pipe._build_jits()
+    try:
+        rng = np.random.default_rng(12)
+        seg = (rng.standard_normal((1, pipe._seg_len_16k)) * 0.1).astype(np.float32)
+        ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+        pipe._cond_latent = pipe.get_gpt_cond_latents(ref)
+        state, tok0, lat0, _, _ = pipe._start_segment(seg, pipe._seg_len_16k)
+        c1 = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                   state, 7, lat0[:, None, :])
+        # single-chunk continuation
+        s_a = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                    c1[0], 8, jnp.zeros((1, 0, 64), jnp.float32))
+        s_b = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                    s_a[0], 8, jnp.zeros((1, 0, 64), jnp.float32))
+        # double-chunk continuation from the same state
+        d = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                  c1[0], 16, jnp.zeros((1, 0, 64), jnp.float32))
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(s_a[1])[0], np.asarray(s_b[1])[0]]),
+            np.asarray(d[1])[0])
+        np.testing.assert_allclose(np.asarray(s_a[4])[0], np.asarray(d[4])[0],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s_b[4])[0], np.asarray(d[4])[1],
+                                   atol=1e-5)
+    finally:
+        pipe.sampler = old
+        pipe._build_jits()
