@@ -151,7 +151,7 @@ class GenVCPipeline:
             prefix, valid = gpt_model.build_prefix_emb(
                 gpt_params, gcfg, cond_latents, text_codes, text_len)
             state = engine.init_state(
-                gcfg, self._prefix_width, 1, gcfg.heads,
+                gcfg, self._prefix_width, text_codes.shape[0], gcfg.heads,
                 gcfg.model_dim // gcfg.heads, rng,
                 cache_dtype=gpt_params["mel_embedding"].dtype)
             return engine.prefill(gpt_params, gcfg, state, prefix, valid,
@@ -426,6 +426,97 @@ class GenVCPipeline:
                                      jnp.int32(n_lat))
         n_out = n_lat * self.gpt_cfg.code_stride_len
         return np.asarray(wav)[0, :n_out]
+
+    def synthesize_batch(self, src_wavs, ref_audios):
+        """Batched offline conversion — throughput serving mode (no reference
+        analogue; the engine's batch dimension does B utterances' AR decode in
+        the same device passes).
+
+        src_wavs / ref_audios: lists of (1, T) arrays @16 kHz / @24 kHz.
+        Returns a list of (T_out,) waveforms @24 kHz, one per utterance.
+        """
+        bsz = len(src_wavs)
+        conds = jnp.concatenate(
+            [self.get_gpt_cond_latents(r) for r in ref_audios], axis=0)
+
+        # segment-align across the batch: round r processes every utterance's
+        # r-th 6 s segment (missing segments ride along masked and are dropped)
+        seg_lists = [list(self._segments(s)) for s in src_wavs]
+        max_rounds = max(len(s) for s in seg_lists)
+        latents_per_utt = [[] for _ in range(bsz)]
+
+        for r in range(max_rounds):
+            rows = []
+            t_reals = []
+            active = []
+            for i, segs in enumerate(seg_lists):
+                if r < len(segs):
+                    seg, t_real = segs[r]
+                    active.append(True)
+                else:
+                    seg = np.zeros((1, self._seg_len_16k), np.float32)
+                    t_real = self._min_chunk_16k
+                    active.append(False)
+                rows.append(seg[0])
+                t_reals.append(t_real)
+            seg_batch = jnp.asarray(np.stack(rows))
+            sv = jnp.asarray(t_reals, jnp.int32)
+            codes, n_codes_dev = self._content_fn(
+                self.contentvec_params, self.content_dvae_params, seg_batch, sv)
+            codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
+            n_codes = [self._host_n_codes(t) for t in t_reals]
+            state, tok0, lat0 = self._prefill_fn(
+                self.gpt_params, conds, codes,
+                jnp.asarray(n_codes, jnp.int32), self._next_rng())
+            max_new = max(self._max_new(n) for n in n_codes)
+            state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,
+                                                     max_new)
+            toks_np = np.asarray(toks)
+            n_gen_np = np.asarray(n_gen)
+
+            gens = []
+            stop = self.gpt_cfg.stop_audio_token
+            for i in range(bsz):
+                if active[i]:
+                    g = [int(t) for t in toks_np[i, : int(n_gen_np[i])]
+                         if t != stop]
+                    # per-row generation cap (the batch decodes to the max cap)
+                    g = g[: self._max_new(n_codes[i])]
+                else:
+                    g = []
+                gens.append(g)
+            n_max = max((len(g) for g in gens), default=0)
+            if n_max == 0:
+                continue
+            wm = _bucket(n_max + 3)
+            gen_arr = np.zeros((bsz, wm), np.int32)
+            n_arr = np.zeros((bsz,), np.int32)
+            for i, g in enumerate(gens):
+                gen_arr[i, : len(g)] = g
+                n_arr[i] = max(len(g), 1)
+            lat = self._latent_fn(self.gpt_params, codes,
+                                  jnp.asarray(n_codes, jnp.int32),
+                                  jnp.asarray(gen_arr), jnp.asarray(n_arr),
+                                  conds)
+            lat_np = np.asarray(lat)
+            for i, g in enumerate(gens):
+                if active[i] and g:
+                    latents_per_utt[i].append(lat_np[i, : len(g)])
+
+        outs = []
+        for i in range(bsz):
+            if not latents_per_utt[i]:
+                outs.append(np.zeros((0,), np.float32))
+                continue
+            lat_all = np.concatenate(latents_per_utt[i], axis=0)
+            n_lat = lat_all.shape[0]
+            w = _bucket(n_lat)
+            lat_pad = np.zeros((1, w, lat_all.shape[-1]), np.float32)
+            lat_pad[0, :n_lat] = lat_all
+            wav = self._vocode_masked_fn(self.hifigan_params,
+                                         jnp.asarray(lat_pad), jnp.int32(n_lat))
+            outs.append(np.asarray(wav)[0, : n_lat * self.gpt_cfg.code_stride_len])
+        return outs
 
     def synthesize_streaming(self, src_wav: np.ndarray, ref_audio: np.ndarray,
                              stream_chunk_size: int = STREAM_CHUNK,

@@ -180,3 +180,32 @@ def test_stream_multiwindow_call_matches_single(pipe):
     finally:
         pipe.sampler = old
         pipe._build_jits()
+
+
+def test_synthesize_batch(pipe):
+    """Batched serving API: greedy batched decode must match per-utterance
+    non-streaming synthesis."""
+    from genvc_tpu.decode.engine import SamplerConfig
+
+    old = pipe.sampler
+    pipe.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                 repetition_penalty=1.0, do_sample=False)
+    pipe._build_jits()
+    old_cap = pipe.gen_cap_tokens_per_code
+    pipe.gen_cap_tokens_per_code = 1.0
+    try:
+        rng = np.random.default_rng(13)
+        srcs = [(rng.standard_normal((1, 16000)) * 0.1).astype(np.float32),
+                (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)]
+        refs = [(rng.standard_normal((1, 24000)) * 0.1).astype(np.float32),
+                (rng.standard_normal((1, 30000)) * 0.1).astype(np.float32)]
+        outs = pipe.synthesize_batch(srcs, refs)
+        assert len(outs) == 2
+        singles = [pipe.synthesize(s, r) for s, r in zip(srcs, refs)]
+        for got, want in zip(outs, singles):
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=2e-4)
+    finally:
+        pipe.sampler = old
+        pipe.gen_cap_tokens_per_code = old_cap
+        pipe._build_jits()
