@@ -359,3 +359,43 @@ def load_pytree_npz(path: str) -> dict:
         return node
 
     return fix2(tree)
+
+
+def hf_hubert_to_fairseq_sd(hf_sd: dict) -> dict:
+    """Map a transformers ``HubertModel`` state dict onto fairseq HuBERT key
+    names so :func:`convert_contentvec` can consume it (used for the
+    mHuBERT-147 'W2V2_BERT' extractor variant; the reference loads mHuBERT
+    via HF — layers/content_processor.py:36-52)."""
+    sd = {}
+    for k, v in hf_sd.items():
+        if k.startswith("feature_extractor.conv_layers."):
+            i = k.split(".")[2]
+            if ".conv.weight" in k:
+                sd[f"feature_extractor.conv_layers.{i}.0.weight"] = v
+            elif ".layer_norm." in k:
+                sd[f"feature_extractor.conv_layers.{i}.2.{k.split('.')[-1]}"] = v
+        elif k.startswith("feature_projection.layer_norm."):
+            sd["layer_norm." + k.split(".")[-1]] = v
+        elif k.startswith("feature_projection.projection."):
+            sd["post_extract_proj." + k.split(".")[-1]] = v
+        elif k.startswith("encoder.pos_conv_embed.conv."):
+            tail = k.split("encoder.pos_conv_embed.conv.")[1]
+            if tail == "bias":
+                sd["encoder.pos_conv.0.bias"] = v
+            elif tail in ("weight_g", "parametrizations.weight.original0"):
+                sd["encoder.pos_conv.0.weight_g"] = v
+            elif tail in ("weight_v", "parametrizations.weight.original1"):
+                sd["encoder.pos_conv.0.weight_v"] = v
+        elif k.startswith("encoder.layer_norm."):
+            sd["encoder.layer_norm." + k.split(".")[-1]] = v
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            if rest.startswith(("attention.", "layer_norm.")):
+                rest = (rest.replace("attention.", "self_attn.")
+                        .replace("layer_norm.", "self_attn_layer_norm."))
+            rest = rest.replace("feed_forward.intermediate_dense", "fc1")
+            rest = rest.replace("feed_forward.output_dense", "fc2")
+            sd[f"encoder.layers.{i}.{rest}"] = v
+    return sd
