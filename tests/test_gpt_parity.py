@@ -221,3 +221,37 @@ def test_forward_train_formatting_and_loss():
         cond_mels=cond_mels, cond_lens=cond_lens, return_latent=True,
         train=False)
     assert latents.shape == (b, wm + 2 - 5, cfg.model_dim)
+
+
+def test_decode_all_matches_chunked():
+    """Single-dispatch while_loop generation == chunked scan generation."""
+    cfg = SMALL
+    hf = make_hf_gpt2(cfg)
+    params, _ = hf_to_core(hf, cfg)
+    rng = np.random.default_rng(5)
+    text = jnp.asarray(rng.integers(0, 256, (1, 10)), jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((1, 32, cfg.model_dim)) * 0.1,
+                       jnp.float32)
+    prefix, valid = gpt_model.build_prefix_emb(params, cfg, cond, text,
+                                               jnp.asarray([10], jnp.int32))
+    sampler = engine.SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                   repetition_penalty=1.0, do_sample=False)
+
+    def fresh_state(key):
+        return engine.init_state(cfg, prefix.shape[1], 1, cfg.heads,
+                                 cfg.model_dim // cfg.heads, key,
+                                 cache_dtype=jnp.float32)
+
+    st, tok0, _ = engine.prefill(params, cfg, fresh_state(jax.random.key(0)),
+                                 prefix, valid, sampler)
+    st_all, buf, n_gen = engine.decode_all(params, cfg, st, sampler, 12)
+    all_toks = [int(t) for t in np.asarray(buf)[0, : int(n_gen[0])]]
+
+    st2, tok0b, _ = engine.prefill(params, cfg, fresh_state(jax.random.key(0)),
+                                   prefix, valid, sampler)
+    chunk_toks = [int(tok0b[0])]
+    while len(chunk_toks) < 12:
+        st2, toks, _, _ = engine.decode_chunk(params, cfg, st2, sampler,
+                                              chunk=4)
+        chunk_toks += [int(t) for t in np.asarray(toks)[0]]
+    assert all_toks == chunk_toks[: len(all_toks)]
