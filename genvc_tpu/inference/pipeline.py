@@ -800,8 +800,11 @@ def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
 
 def _load_mel_norms(cfg: GenVCConfig):
     import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     path = cfg.model_args.mel_norm_file
     candidates = [path, "pre_trained/mel_stats.npy",
+                  os.path.join(repo_root, "pre_trained/mel_stats.npy"),
                   "/root/reference/pre_trained/mel_stats.pth"]
     for cand in candidates:
         if cand and os.path.exists(str(cand)):

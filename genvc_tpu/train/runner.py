@@ -351,13 +351,14 @@ def run_vocoder_training(cfg: GenVCConfig):
         gen_params, disc_params, gen_tx.init(gen_params),
         disc_tx.init(disc_params), jnp.int32(0))
     scale = int(ma.gpt_code_stride_len // cfg.vocoder_config.hop_length)
-    train_step, eval_step = vocoder_stage.make_train_step(
+    # split-program GAN step: the fused single-program variant
+    # (make_train_step) exceeds compile-memory limits on constrained
+    # compile services; the split is mathematically identical
+    train_step, eval_step = vocoder_stage.make_split_steps(
         gcfg, cfg.vocoder_config, cqt_statics,
         gen_tx, disc_tx, scale_factor=scale)
-    _jit_train = jax.jit(train_step, donate_argnums=(0,))
-    _jit_eval = jax.jit(eval_step)
-    jit_train = lambda s, b: _jit_train(s, b, frozen, gpt_params)
-    jit_eval = lambda s, b: _jit_eval(s, b, frozen, gpt_params)
+    jit_train = lambda s, b: train_step(s, b, frozen, gpt_params)
+    jit_eval = lambda s, b: eval_step(s, b, frozen, gpt_params)
 
     ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
                                   cfg.save_n_checkpoints)

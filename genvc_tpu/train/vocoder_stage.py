@@ -162,3 +162,135 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         return {"loss_disc": d_loss, "mel_loss": ml}
 
     return train_step, eval_step
+
+
+def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
+                     cqt_statics, gen_tx, disc_tx, scale_factor: int = 4,
+                     per_family: bool = False):
+    """Split-program variant of the GAN step: prepare / render / discriminator
+    update / generator update as separate jitted programs (the fused
+    single-program step can exceed compile-memory limits — the 4 discriminator
+    families fwd+bwd in one XLA program is a ~50 MB MLIR payload).
+
+    ``per_family=True`` splits gradient computation per discriminator family
+    (finest granularity; gradients are summed before the optimizer update —
+    mathematically identical since the total loss is a sum over families).
+    Returns (train_step, eval_step) with the same call signature as
+    make_train_step; train_step runs several device programs per batch.
+    """
+    families = ("MSD_Discriminator", "MPD_Discriminator",
+                "MSTFT_Discriminator", "MSCQT_Discriminator")
+    fam_key = {"MSD_Discriminator": "msd", "MPD_Discriminator": "mpd",
+               "MSTFT_Discriminator": "msstftd",
+               "MSCQT_Discriminator": "mssbcqtd"}
+
+    def run_family(name, disc_family_params, y, y_hat):
+        if name == "MSD_Discriminator":
+            return hifigan.msd_forward(disc_family_params, y, y_hat)
+        if name == "MPD_Discriminator":
+            return hifigan.mpd_forward(disc_family_params, y, y_hat,
+                                       periods=tuple(voc_cfg.mpd_reshapes))
+        if name == "MSTFT_Discriminator":
+            return hifigan.msstftd_forward(disc_family_params, y, y_hat)
+        return hifigan.mssbcqtd_forward(disc_family_params, cqt_statics, y,
+                                        y_hat)
+
+    @jax.jit
+    def prepare_fn(batch, frozen, gpt_params):
+        return prepare_vocoder_batch(frozen, gpt_params, gcfg, batch)
+
+    @jax.jit
+    def render_fn(gen_params, latents):
+        x = jnp.swapaxes(latents, 1, 2)
+        x = linear_interp_x4(x, scale_factor)
+        return hifigan.generator_forward(gen_params, x, voc_cfg)
+
+    def _disc_loss_family(name):
+        def f(fam_params, y, y_hat):
+            lr, lg, _, _ = run_family(name, fam_params, y, y_hat)
+            return losses.discriminator_loss(lr, lg)
+        return f
+
+    disc_fam_grads = {name: jax.jit(jax.value_and_grad(_disc_loss_family(name)))
+                      for name in families}
+
+    def _gen_loss_family(name):
+        def f(gen_params, fam_params, latents, y):
+            # render inside for gradient flow to the generator
+            x = jnp.swapaxes(latents, 1, 2)
+            x = linear_interp_x4(x, scale_factor)
+            y_hat = hifigan.generator_forward(gen_params, x, voc_cfg)
+            lr, lg, fr, fg = run_family(name, fam_params, y, y_hat)
+            return losses.feature_loss(fr, fg) + losses.generator_adv_loss(lg)
+        return f
+
+    gen_fam_grads = {name: jax.jit(jax.value_and_grad(_gen_loss_family(name)))
+                     for name in families}
+
+    @jax.jit
+    def gen_mel_grad(gen_params, latents, y):
+        def f(gp):
+            x = jnp.swapaxes(latents, 1, 2)
+            x = linear_interp_x4(x, scale_factor)
+            y_hat = hifigan.generator_forward(gp, x, voc_cfg)
+            return losses.mel_loss(y[:, 0, :], y_hat[:, 0, :], voc_cfg)
+        return jax.value_and_grad(f)(gen_params)
+
+    @jax.jit
+    def disc_update(disc_params, disc_opt, grads):
+        updates, disc_opt = disc_tx.update(grads, disc_opt, disc_params)
+        return optax.apply_updates(disc_params, updates), disc_opt
+
+    @jax.jit
+    def gen_update(gen_params, gen_opt, grads):
+        updates, gen_opt = gen_tx.update(grads, gen_opt, gen_params)
+        return optax.apply_updates(gen_params, updates), gen_opt
+
+    def train_step(state: VocoderTrainState, batch: dict,
+                   frozen: FrozenModules, gpt_params):
+        latents, wav_gt = prepare_fn(batch, frozen, gpt_params)
+        y_hat = render_fn(state.gen_params, latents)
+
+        d_loss = 0.0
+        d_grads = {}
+        for name in families:
+            key = fam_key[name]
+            l, g = disc_fam_grads[name](state.disc_params[key], wav_gt, y_hat)
+            d_loss += float(l)
+            d_grads[key] = g
+        disc_params, disc_opt = disc_update(state.disc_params, state.disc_opt,
+                                            d_grads)
+
+        g_loss = 0.0
+        g_grads = None
+        for name in families:
+            key = fam_key[name]
+            l, g = gen_fam_grads[name](state.gen_params, disc_params[key],
+                                       latents, wav_gt)
+            g_loss += float(l)
+            g_grads = g if g_grads is None else jax.tree.map(
+                jnp.add, g_grads, g)
+        ml, mg = gen_mel_grad(state.gen_params, latents, wav_gt)
+        g_loss += float(ml)
+        g_grads = jax.tree.map(jnp.add, g_grads, mg)
+        gen_params, gen_opt = gen_update(state.gen_params, state.gen_opt,
+                                         g_grads)
+
+        metrics = {"loss_disc": d_loss, "loss_gen": g_loss,
+                   "mel_loss": float(ml)}
+        return VocoderTrainState(gen_params, disc_params, gen_opt, disc_opt,
+                                 state.step + 1), metrics
+
+    def eval_step(state: VocoderTrainState, batch: dict,
+                  frozen: FrozenModules, gpt_params):
+        latents, wav_gt = prepare_fn(batch, frozen, gpt_params)
+        y_hat = render_fn(state.gen_params, latents)
+        d_loss = 0.0
+        for name in families:
+            key = fam_key[name]
+            l, _ = disc_fam_grads[name](state.disc_params[key], wav_gt, y_hat)
+            d_loss += float(l)
+        ml, _ = gen_mel_grad(state.gen_params, latents, wav_gt)
+        return {"loss_disc": d_loss, "mel_loss": float(ml)}
+
+    return train_step, eval_step

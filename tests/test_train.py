@@ -156,3 +156,61 @@ def test_vocoder_train_step_smoke():
         lambda a, b: a + float(jnp.sum(jnp.abs(b))),
         jax.tree.map(lambda a, b: a - b, new_state.gen_params, gen_params), 0.0)
     assert delta > 0
+
+
+def test_vocoder_split_steps_match_fused():
+    """Split-program GAN step == fused single-program step (same grads by
+    linearity of the summed losses)."""
+    import optax
+
+    cfg = GenVCConfig()
+    cfg.vocoder_config = small_voc_cfg()
+    gcfg = gpt_model.GPTConfig(layers=1, model_dim=32, heads=4,
+                               number_text_tokens=40, num_audio_tokens=50,
+                               start_text_token=36, stop_text_token=37,
+                               start_audio_token=48, stop_audio_token=49)
+    for c, ch, nt in ((cfg.acoustic_dvae_config, 80, 48),
+                      (cfg.content_dvae_config, 256, 36)):
+        c.num_channels, c.num_tokens, c.hidden_dim, c.codebook_dim = ch, nt, 8, 16
+
+    frozen_tree = {
+        "contentvec": contentvec.init_params(jax.random.key(1), n_layers=1),
+        "acoustic_dvae": dvae.init_params(jax.random.key(2), dvae.DVAEConfig(
+            channels=80, num_tokens=48, codebook_dim=16, hidden_dim=8)),
+        "content_dvae": dvae.init_params(jax.random.key(3), dvae.DVAEConfig(
+            channels=256, num_tokens=36, codebook_dim=16, hidden_dim=8)),
+    }
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, np.ones(80, np.float32))
+    gpt_params = gpt_model.init_params(jax.random.key(0), gcfg)
+    gen_params = hifigan.init_generator(jax.random.key(4), cfg.vocoder_config,
+                                        weight_normed=True)
+    disc_params, cqt_statics = vocoder_stage.init_discriminators(
+        jax.random.key(5), cfg.vocoder_config)
+    gen_tx, disc_tx = optax.adamw(2e-4), optax.adamw(2e-4)
+
+    def fresh():
+        return vocoder_stage.VocoderTrainState(
+            gen_params, disc_params, gen_tx.init(gen_params),
+            disc_tx.init(disc_params), jnp.int32(0))
+
+    rng = np.random.default_rng(0)
+    t_wav = 8 * 1920
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal((2, 1, t_wav)) * 0.1, jnp.float32),
+        "wav_lengths": jnp.full((2,), t_wav, jnp.int32),
+        "conditioning": jnp.asarray(rng.standard_normal((2, 1, 1, 24000)) * 0.1,
+                                    jnp.float32),
+        "cond_lens": jnp.full((2,), 24000, jnp.int32),
+        "text_lengths": jnp.full((2,), 8, jnp.int32),
+    }
+    fused_step, _ = vocoder_stage.make_train_step(
+        gcfg, cfg.vocoder_config, cqt_statics, gen_tx, disc_tx)
+    split_step, _ = vocoder_stage.make_split_steps(
+        gcfg, cfg.vocoder_config, cqt_statics, gen_tx, disc_tx)
+    sf, mf = jax.jit(fused_step)(fresh(), batch, frozen, gpt_params)
+    ss, ms = split_step(fresh(), batch, frozen, gpt_params)
+    assert float(mf["loss_disc"]) == pytest.approx(float(ms["loss_disc"]), rel=1e-4)
+    assert float(mf["loss_gen"]) == pytest.approx(float(ms["loss_gen"]), rel=1e-4)
+    gd = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                      sf.gen_params, ss.gen_params)
+    assert jax.tree.reduce(max, gd) < 1e-5
