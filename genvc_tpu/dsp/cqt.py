@@ -57,11 +57,16 @@ def cqt2010(x: jnp.ndarray, sr: int, hop_length: int, n_octaves: int,
     Bin 0 is the lowest frequency (fmin), matching nnAudio's ordering that the
     reference's per-octave conv_pres slicing relies on (hifigan.py:738-748).
     """
+    from genvc_tpu.dsp.mel import frame_signal
+
     fmax = fmin * 2.0 ** n_octaves
     re_k, im_k = top_octave_kernels(sr, fmax, bins_per_octave)
-    re_k = jnp.asarray(re_k)[:, None, :]
-    im_k = jnp.asarray(im_k)[:, None, :]
-    klen = re_k.shape[-1]
+    # frames @ kernel-bank matmul (MXU path; a strided conv with stride=hop
+    # also works but its input-gradient lowers to an lhs_dilation=hop conv
+    # that blows up the TPU compiler at hop 512)
+    kern = jnp.asarray(np.stack([re_k.T, im_k.T], axis=-1)
+                       .reshape(re_k.shape[1], -1))  # (klen, bins*2)
+    klen = re_k.shape[1]
 
     outs = []
     sig = x
@@ -69,20 +74,17 @@ def cqt2010(x: jnp.ndarray, sr: int, hop_length: int, n_octaves: int,
     for octave in range(n_octaves):  # octave 0 = top
         hop = hop_length // (2 ** octave)
         pad = klen // 2
-        xb = jnp.pad(sig[:, None, :], ((0, 0), (0, 0), (pad, pad)))
-        conv = lambda k: jax.lax.conv_general_dilated(
-            xb, k, (hop,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=jax.lax.Precision.HIGHEST)
-        re = conv(re_k)
-        im = conv(im_k)
-        outs.append((re, im))
-        frames_list.append(re.shape[-1])
+        xb = jnp.pad(sig, ((0, 0), (pad, pad)))
+        frames = frame_signal(xb, klen, hop)  # (B, n_frames, klen)
+        z = jnp.dot(frames, kern, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        z = z.reshape(z.shape[0], z.shape[1], bins_per_octave, 2)
+        outs.append(jnp.swapaxes(z, 1, 2))  # (B, bins, n_frames, 2)
+        frames_list.append(z.shape[1])
         if octave < n_octaves - 1:
             sig = resample(sig, 2, 1)
     n_frames = min(frames_list)
     stacked = []
     for octave in reversed(range(n_octaves)):  # lowest octave first
-        re, im = outs[octave]
-        stacked.append(jnp.stack([re[..., :n_frames], im[..., :n_frames]],
-                                 axis=-1))
+        stacked.append(outs[octave][:, :, :n_frames])
     return jnp.concatenate(stacked, axis=1)  # (B, n_oct*bins, frames, 2)

@@ -392,6 +392,31 @@ def init_discriminator_cqt(key, filters, max_filters, filters_scale,
     return params, static
 
 
+def _cqt_conv_pres(pres_params, z, n_oct, bins, kernel):
+    """Apply the per-octave NormConv2d pre-convs (reference hifigan.py:738-748)
+    as a single im2col + einsum. z: (B, 2, T, n_oct*bins) -> same shape."""
+    b, c, t, _ = z.shape
+    kh, kw = kernel
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    zb = z.reshape(b, c, t, n_oct, bins).transpose(0, 3, 1, 2, 4)
+    zb = jnp.pad(zb, ((0, 0), (0, 0), (0, 0), (ph, ph), (pw, pw)))
+    t_idx = np.arange(t)[:, None] + np.arange(kh)[None, :]        # (T, kh)
+    w_idx = np.arange(bins)[:, None] + np.arange(kw)[None, :]     # (bins, kw)
+    patches = zb[:, :, :, t_idx, :]            # (B, O, C, T, kh, bins+2pw)
+    patches = patches[..., w_idx]              # (B, O, C, T, kh, bins, kw)
+    patches = patches.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+        b, n_oct, t, bins, c * kh * kw)
+    # weights: list of {w: (out=2, in=2, kh, kw), b: (2,)} per octave
+    w = jnp.stack([pp["w"] for pp in pres_params])                # (O, 2, 2, kh, kw)
+    w = w.reshape(n_oct, 2, -1)                                   # (O, out, C*kh*kw)
+    bias = jnp.stack([pp["b"] for pp in pres_params])             # (O, 2)
+    out = jnp.einsum("botwk,oek->beotw", patches, w,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    out = out + bias.T[None, :, :, None, None]   # (B, 2, O, T, bins)
+    return out.transpose(0, 1, 3, 2, 4).reshape(b, 2, t, n_oct * bins)
+
+
 def discriminator_cqt_forward(p, x, static):
     from genvc_tpu.dsp import cqt as cqt_mod
     from genvc_tpu.dsp.resample import resample as jresample
@@ -408,12 +433,10 @@ def discriminator_cqt_forward(p, x, static):
     z = jnp.concatenate([z[..., 0][:, None], z[..., 1][:, None]], axis=1)
     # (B, 2, n_bins, T) -> (B, 2, T, n_bins)
     z = jnp.swapaxes(z, 2, 3)
-    latent = []
-    for i in range(n_oct):
-        band = z[..., i * bins : (i + 1) * bins]
-        latent.append(conv2d(p["conv_pres"][i], band,
-                             padding=get_2d_padding(kernel)))
-    z = jnp.concatenate(latent, axis=-1)
+    # per-octave pre-convs as ONE im2col+matmul over all bands: 9 separate
+    # width-24 conv2ds compile pathologically on the TPU backend (~7 min for
+    # the forward alone); the batched matmul is equivalent and MXU-friendly
+    z = _cqt_conv_pres(p["conv_pres"], z, n_oct, bins, kernel)
     fmap = []
     pads = [get_2d_padding(kernel)]
     strides = [(1, 1)]
