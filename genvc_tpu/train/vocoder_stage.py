@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from genvc_tpu.config import GenVCConfig, VocoderConfig
@@ -251,33 +252,36 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         latents, wav_gt = prepare_fn(batch, frozen, gpt_params)
         y_hat = render_fn(state.gen_params, latents)
 
-        d_loss = 0.0
+        d_losses = []
         d_grads = {}
         for name in families:
             key = fam_key[name]
             l, g = disc_fam_grads[name](state.disc_params[key], wav_gt, y_hat)
-            d_loss += float(l)
+            d_losses.append(l)
             d_grads[key] = g
         disc_params, disc_opt = disc_update(state.disc_params, state.disc_opt,
                                             d_grads)
 
-        g_loss = 0.0
+        g_losses = []
         g_grads = None
         for name in families:
             key = fam_key[name]
             l, g = gen_fam_grads[name](state.gen_params, disc_params[key],
                                        latents, wav_gt)
-            g_loss += float(l)
+            g_losses.append(l)
             g_grads = g if g_grads is None else jax.tree.map(
                 jnp.add, g_grads, g)
         ml, mg = gen_mel_grad(state.gen_params, latents, wav_gt)
-        g_loss += float(ml)
+        g_losses.append(ml)
         g_grads = jax.tree.map(jnp.add, g_grads, mg)
         gen_params, gen_opt = gen_update(state.gen_params, state.gen_opt,
                                          g_grads)
 
-        metrics = {"loss_disc": d_loss, "loss_gen": g_loss,
-                   "mel_loss": float(ml)}
+        # one combined fetch of all loss scalars (no per-family syncs)
+        vals = jax.device_get((d_losses, g_losses, ml))
+        metrics = {"loss_disc": float(np.sum(vals[0])),
+                   "loss_gen": float(np.sum(vals[1])),
+                   "mel_loss": float(vals[2])}
         return VocoderTrainState(gen_params, disc_params, gen_opt, disc_opt,
                                  state.step + 1), metrics
 
@@ -285,12 +289,12 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                   frozen: FrozenModules, gpt_params):
         latents, wav_gt = prepare_fn(batch, frozen, gpt_params)
         y_hat = render_fn(state.gen_params, latents)
-        d_loss = 0.0
-        for name in families:
-            key = fam_key[name]
-            l, _ = disc_fam_grads[name](state.disc_params[key], wav_gt, y_hat)
-            d_loss += float(l)
+        d_losses = [disc_fam_grads[name](state.disc_params[fam_key[name]],
+                                         wav_gt, y_hat)[0]
+                    for name in families]
         ml, _ = gen_mel_grad(state.gen_params, latents, wav_gt)
-        return {"loss_disc": d_loss, "mel_loss": float(ml)}
+        vals = jax.device_get((d_losses, ml))
+        return {"loss_disc": float(np.sum(vals[0])),
+                "mel_loss": float(vals[1])}
 
     return train_step, eval_step
