@@ -6,9 +6,11 @@ inference/inference_utils.py) with a TPU-first execution plan:
 * every device function is jitted once with static shapes; variable lengths
   ride through as valid-length scalars (masked-conv / masked-attention
   parity — see models/*),
-* the streaming hot loop is ``prefill`` + chunked ``decode_chunk`` (8 AR steps
-  per device call) + a per-chunk vocoder call; the only host↔device traffic is
-  8 tokens + an 8×1024 latent block per chunk,
+* the streaming hot loop fuses [decode steps → ×4 interp → vocoder] into one
+  device call per ``chunks_per_call`` 8-token windows, keeps
+  ``pipeline_depth`` calls in flight, prefetches device→host copies at
+  dispatch, and consumes each call with a single combined fetch — the
+  round-trip latency of the link amortizes over depth × chunk compute,
 * the non-streaming path keeps the reference's teacher-forced second pass
   (latent re-forward) and single full-utterance vocoder call, with generation
   lengths bucketed to limit recompilation.
