@@ -24,7 +24,6 @@ Semantics mirrored from the reference decode path:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax

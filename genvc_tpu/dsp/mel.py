@@ -22,7 +22,6 @@ Three reference-matching variants are provided:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

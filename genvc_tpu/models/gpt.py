@@ -18,7 +18,6 @@ masks) are reproduced with width-static tensors + length masks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

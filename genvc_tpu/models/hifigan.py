@@ -17,7 +17,6 @@ hifigan.py:281-314), MPD (periods 2,3,5,7,11, reflect pad to period multiple,
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import jax

@@ -15,8 +15,7 @@ XLA emits the gradient psum from the shardings.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

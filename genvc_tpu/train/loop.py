@@ -15,7 +15,6 @@ import time
 from typing import Callable, Optional
 
 import jax
-import numpy as np
 
 
 class MetricAverager:

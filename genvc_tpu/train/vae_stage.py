@@ -9,8 +9,7 @@ codebook update is part of the jitted step with psum over the data axis.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

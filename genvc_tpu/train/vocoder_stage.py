@@ -16,7 +16,6 @@ gradients match the reference's reparametrized updates.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from genvc_tpu.config import GenVCConfig, VocoderConfig
+from genvc_tpu.config import VocoderConfig
 from genvc_tpu.models import gpt as gpt_model, hifigan
 from genvc_tpu.ops.conv import linear_interp_x4
 from genvc_tpu.train import losses
