@@ -110,7 +110,7 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
     latencies, rtfs, tok_rates = [], [], []
     for i in range(n_runs):
         t0 = time.perf_counter()
