@@ -11,7 +11,13 @@ import sys
 os.environ.pop("JAX_PLATFORMS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# single-core hosts serialize the virtual devices' compute; the default
+# 20 s/40 s CPU-collective rendezvous timeouts can abort multi-device steps
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
