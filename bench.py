@@ -67,8 +67,9 @@ def build_random_pipeline(compute_dtype, seed=0):
 def load_bench_audio(pipe):
     from genvc_tpu.dsp.audio_io import load_audio
 
-    src_path = "/root/reference/samples/EF4_ENG_0112_1.wav"
-    ref_path = "/root/reference/samples/EM1_ENG_0037_1.wav"
+    here = os.path.dirname(os.path.abspath(__file__))
+    src_path = os.path.join(here, "samples", "EF4_ENG_0112_1.wav")
+    ref_path = os.path.join(here, "samples", "EM1_ENG_0037_1.wav")
     src = load_audio(src_path, pipe.content_sample_rate) if os.path.exists(src_path) else None
     ref = load_audio(ref_path, pipe.sample_rate) if os.path.exists(ref_path) else None
     if src is None:
@@ -110,7 +111,7 @@ def main():
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    n_runs = int(os.environ.get("BENCH_RUNS", "5"))
+    n_runs = int(os.environ.get("BENCH_RUNS", "15"))
     latencies, rtfs, tok_rates = [], [], []
     for i in range(n_runs):
         t0 = time.perf_counter()
@@ -138,6 +139,8 @@ def main():
         "latency_ms_avg": round(float(np.mean(latencies)) * 1000, 1),
         "latency_ms_min": round(float(np.min(latencies)) * 1000, 1),
         "latency_ms_max": round(float(np.max(latencies)) * 1000, 1),
+        "latency_ms_p95": round(float(np.percentile(latencies, 95)) * 1000, 1),
+        "rtf_p95": round(float(np.percentile(rtfs, 95)), 4),
         "rtf_min": round(float(np.min(rtfs)), 4),
         "rtf_max": round(float(np.max(rtfs)), 4),
         "ar_tokens_per_sec": round(float(np.mean(tok_rates)), 1),

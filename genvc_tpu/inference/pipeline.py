@@ -225,6 +225,25 @@ class GenVCPipeline:
             wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
             return st, toks, all_lats, pre_fin, wavs
 
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def stream_chunk_batch_fn(gpt_params, hifi_params, state, k,
+                                  carry_latents):
+            """B-row variant of stream_chunk_fn: each row's completed 8-token
+            windows fold into the vocoder batch dim. Returns wavs
+            (B, n_windows, chunk*stride) — per-row windows remain
+            byte-identical to standalone single-row chunks."""
+            st, toks, lats, pre_fin = engine.decode_chunk(
+                gpt_params, gcfg, state, sampler, chunk=k)
+            all_lats = jnp.concatenate([carry_latents, lats], axis=1)
+            b, w, dd = all_lats.shape
+            n_windows = w // STREAM_CHUNK
+            win = all_lats[:, : n_windows * STREAM_CHUNK].reshape(
+                b * n_windows, STREAM_CHUNK, dd)
+            x = jnp.swapaxes(win, 1, 2)
+            x = linear_interp_x4(x, self.hifigan_scale_factor)
+            wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
+            return st, toks, all_lats, pre_fin, wavs.reshape(b, n_windows, -1)
+
         @functools.partial(jax.jit, static_argnums=(2,))
         def decode_all_fn(gpt_params, state, max_new):
             return engine.decode_all(gpt_params, gcfg, state, sampler, max_new)
@@ -267,6 +286,7 @@ class GenVCPipeline:
 
         self._cond_latent_batch_fn = cond_latent_batch_fn
         self._first_audio_fn = first_audio_fn
+        self._stream_chunk_batch_fn = stream_chunk_batch_fn
         self._segment_prefill_fn = segment_prefill_fn
         self._stream_chunk_fn = stream_chunk_fn
         self._decode_all_fn = decode_all_fn
@@ -663,6 +683,140 @@ class GenVCPipeline:
             print(f"Real-time factor: {rtf:.3f}")
         return wav, latency, rtf
 
+    def synthesize_streaming_batch(self, src_wavs, ref_audios,
+                                   stream_chunk_size: int = STREAM_CHUNK,
+                                   verbose: bool = True):
+        """Streaming serving mode: B utterances stream in lockstep through the
+        batched decode engine — per-row EOS, per-row crossfade assembly. This
+        is the TPU throughput play (no reference analogue; the reference
+        streams one utterance per GPU): aggregate RTF per chip scales with B
+        at nearly flat per-call cost because decode is HBM-bound gemv work.
+
+        src_wavs / ref_audios: lists of (1, T) arrays @16 kHz / @24 kHz.
+        Returns (list of (T_out,) wavs @24 kHz, per-row first-chunk latency
+        list in seconds, aggregate RTF = elapsed / total input audio).
+        """
+        begin = time.perf_counter()
+        bsz = len(src_wavs)
+        stop = self.gpt_cfg.stop_audio_token
+        csz = stream_chunk_size
+        d = self.gpt_cfg.model_dim
+        outs = [[] for _ in range(bsz)]
+        overlaps = [None] * bsz
+        latencies = [None] * bsz
+
+        def emit(i, wav_np):
+            chunk, overlaps[i] = _handle_chunk(wav_np, overlaps[i], CROSSFADE)
+            outs[i].append(chunk)
+            if latencies[i] is None:
+                latencies[i] = time.perf_counter() - begin
+
+        conds = jnp.concatenate(
+            [self.get_gpt_cond_latents(r) for r in ref_audios], axis=0)
+        seg_lists = [list(self._segments(s)) for s in src_wavs]
+        max_rounds = max(len(s) for s in seg_lists)
+        empty_carry = jnp.zeros((bsz, 0, d), jnp.float32)
+        depth = self.pipeline_depth
+        call_sz = csz * self.chunks_per_call
+
+        for r in range(max_rounds):
+            rows, t_reals, active = [], [], []
+            for i, segs in enumerate(seg_lists):
+                if r < len(segs):
+                    seg, t_real = segs[r]
+                    active.append(True)
+                else:
+                    seg = np.zeros((1, self._seg_len_16k), np.float32)
+                    t_real = self._min_chunk_16k
+                    active.append(False)
+                rows.append(seg[0])
+                t_reals.append(t_real)
+            codes, _ = self._content_fn(
+                self.contentvec_params, self.content_dvae_params,
+                jnp.asarray(np.stack(rows)), jnp.asarray(t_reals, jnp.int32))
+            codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
+            n_codes = [self._host_n_codes(t) for t in t_reals]
+            state, tok0, lat0 = self._prefill_fn(
+                self.gpt_params, conds, codes,
+                jnp.asarray(n_codes, jnp.int32), self._next_rng())
+            caps = [self._max_new(n) if active[i] else 1
+                    for i, n in enumerate(n_codes)]
+            hard_cap = max(caps)
+            done = [not a for a in active]
+
+            inflight = [self._stream_chunk_batch_fn(
+                self.gpt_params, self.hifigan_params, state, csz - 1,
+                lat0[:, None, :])]
+            n_total = 1
+            first_call = True
+            while (len(inflight) < depth and
+                   n_total + sum(c[1].shape[1] for c in inflight) < hard_cap):
+                inflight.append(self._stream_chunk_batch_fn(
+                    self.gpt_params, self.hifigan_params, inflight[-1][0],
+                    call_sz, empty_carry))
+
+            while inflight and not all(done):
+                st, toks, lats, pre_fin, wavs = inflight.pop(0)
+                queued = sum(c[1].shape[1] for c in inflight)
+                if (not all(done)
+                        and n_total + queued + call_sz < hard_cap):
+                    tail_state = inflight[-1][0] if inflight else st
+                    inflight.append(self._stream_chunk_batch_fn(
+                        self.gpt_params, self.hifigan_params, tail_state,
+                        call_sz, empty_carry))
+                toks_np, wavs_np, pre_fin_np = jax.device_get(
+                    (toks, wavs, pre_fin))  # one sync per call
+                k = toks_np.shape[1]
+                carry = (csz - k % csz) % csz
+                nw = wavs_np.shape[1]
+                for i in range(bsz):
+                    if done[i]:
+                        continue
+                    if first_call and bool(pre_fin_np[i, 0]):
+                        # EOS at the prefill-sampled token: vocode only it
+                        wav1 = self._vocode_fn(self.hifigan_params,
+                                               lats[i : i + 1, :1], 1)
+                        emit(i, np.asarray(wav1)[0])
+                        done[i] = True
+                        continue
+                    eos_j = None
+                    for j, t in enumerate(toks_np[i]):
+                        if n_total + j + 1 > caps[i]:
+                            eos_j = j - 1
+                            break
+                        if t == stop:
+                            eos_j = j
+                            break
+                    if eos_j is None and n_total + k >= caps[i]:
+                        eos_j = k - 1
+                    n_lat_valid = carry + (k if eos_j is None else eos_j + 1)
+                    full = n_lat_valid // csz
+                    for w in range(min(full, nw)):
+                        emit(i, wavs_np[i, w])
+                    rem = n_lat_valid - full * csz
+                    if eos_j is not None:
+                        if rem > 0:
+                            wav_gen = self._vocode_fn(
+                                self.hifigan_params,
+                                lats[i : i + 1,
+                                     full * csz : full * csz + rem], rem)
+                            emit(i, np.asarray(wav_gen)[0])
+                        done[i] = True
+                first_call = False
+                n_total += k
+
+        wavs_out = [np.concatenate(o, axis=-1) if o
+                    else np.zeros((0,), np.float32) for o in outs]
+        elapsed = time.perf_counter() - begin
+        total_audio = sum(s.shape[-1] for s in src_wavs) / self.content_sample_rate
+        agg_rtf = elapsed / total_audio
+        if verbose:
+            lat_s = [f"{v:.3f}" if v is not None else "-" for v in latencies]
+            print(f"Batch latencies (s): {lat_s}")
+            print(f"Aggregate real-time factor: {agg_rtf:.3f} "
+                  f"({bsz} streams)")
+        return wavs_out, latencies, agg_rtf
+
     def warmup(self, streaming: bool = True):
         """Compile the hot path so first-chunk latency excludes compilation."""
         rng = np.random.default_rng(0)
@@ -806,8 +960,7 @@ def _load_mel_norms(cfg: GenVCConfig):
         os.path.abspath(__file__))))
     path = cfg.model_args.mel_norm_file
     candidates = [path, "pre_trained/mel_stats.npy",
-                  os.path.join(repo_root, "pre_trained/mel_stats.npy"),
-                  "/root/reference/pre_trained/mel_stats.pth"]
+                  os.path.join(repo_root, "pre_trained/mel_stats.npy")]
     for cand in candidates:
         if cand and os.path.exists(str(cand)):
             if str(cand).endswith(".npy"):
