@@ -14,9 +14,17 @@ import threading
 
 
 class BatchLoader:
+    """num_shards/shard_index give multi-host data parallelism: each host
+    reads a disjoint stride of the (epoch-shuffled, shared-seed) sample
+    order — the TPU analogue of torch's DistributedSampler
+    (reference gpt_trainer.py:344-347). Pass jax.process_index()/
+    jax.process_count(); defaults are single-host."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0):
+        assert 0 <= shard_index < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -25,9 +33,18 @@ class BatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.epoch = 0
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
+    def _shard_len(self):
+        n = len(self.dataset)
+        base = n // self.num_shards
+        if not self.drop_last and self.shard_index < n % self.num_shards:
+            base += 1
+        return base
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -37,6 +54,11 @@ class BatchLoader:
         order = list(range(len(self.dataset)))
         if self.shuffle:
             rng.shuffle(order)
+        if self.num_shards > 1:
+            # same shuffle on every host (shared seed), disjoint strides
+            order = order[self.shard_index :: self.num_shards]
+            if self.drop_last:
+                order = order[: len(self.dataset) // self.num_shards]
         batches = []
         for i in range(0, len(order), self.batch_size):
             idx = order[i : i + self.batch_size]

@@ -181,7 +181,7 @@ def make_config_dict():
             "gpt_start_audio_token": 1024,
             "gpt_stop_audio_token": 1025,
             "gpt_code_stride_len": 1024,
-            "mel_norm_file": "/root/reference/pre_trained/mel_stats.pth",
+            "mel_norm_file": "pre_trained/mel_stats.npy",
         },
         "audio": {"sample_rate": 24000, "content_sample_rate": 16000,
                   "dvae_sample_rate": 24000},
@@ -210,3 +210,116 @@ def write_bundle(path: str):
     sd.update(contentvec_sd())
     torch.save({"model": sd, "config": make_config_dict()}, path)
     return path
+
+
+# ----------------------------------------------------------------- smoke mode
+# One-command 2-step TPU smoke of every train stage: synthetic sine-wave
+# dataset + synthetic frozen stage checkpoints (tiny dims), used by the train
+# scripts' --smoke flag.
+
+
+def make_sine_dataset(out_dir, n=8, sr=24000, dur=1.6):
+    """Write n sine-plus-noise wavs and a `path|spk` metafile; returns the
+    metafile path."""
+    import os
+
+    from genvc_tpu.dsp.audio_io import write_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    meta = os.path.join(out_dir, "meta.txt")
+    with open(meta, "w") as f:
+        for i in range(n):
+            t = np.arange(int(sr * dur)) / sr
+            wav = (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * t)
+                   + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+            p = os.path.join(out_dir, f"w{i}.wav")
+            write_wav(p, wav, sr)
+            f.write(f"{p}|spk{i % 2}\n")
+    return meta
+
+
+def write_stage_ckpts(out_dir):
+    """Write synthetic frozen-stage checkpoints (contentvec / both dVAEs /
+    GPT) in the reference torch formats; returns their paths as a dict."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    torch.manual_seed(0)
+    paths = {
+        "contentvec": os.path.join(out_dir, "contentvec.pt"),
+        "acoustic_dvae": os.path.join(out_dir, "acoustic_dvae.pth"),
+        "content_dvae": os.path.join(out_dir, "content_dvae.pth"),
+        "gpt": os.path.join(out_dir, "gpt.pth"),
+    }
+    torch.save({"model": contentvec_sd(prefix="", n_layers=1)},
+               paths["contentvec"])
+    torch.save(dvae_sd("", 80, 64), paths["acoustic_dvae"])
+    torch.save(dvae_sd("", 256, 36), paths["content_dvae"])
+    torch.save({"model": gpt_sd(prefix="gpt."), "config": {}}, paths["gpt"])
+    return paths
+
+
+def smoke_overrides(cfg, assets_dir, need_gpt_ckpt=False):
+    """Shrink a stage config in place for a 2-step smoke run: tiny model
+    dims matching the synthetic checkpoints, synthetic data, batch 2."""
+    meta = make_sine_dataset(assets_dir)
+    paths = write_stage_ckpts(assets_dir)
+    cfg.train_metafile = meta
+    cfg.test_metafile = meta
+    cfg.batch_size = 2
+    cfg.eval_batch_size = 2
+    cfg.num_loader_workers = 2
+    cfg.epochs = 1
+    cfg.print_step = 1
+    cfg.save_step = 100
+    cfg.contentvec_model_path = paths["contentvec"]
+    cfg.acoustic_dvae_checkpoint = paths["acoustic_dvae"]
+    cfg.content_dvae_checkpoint = paths["content_dvae"]
+    ma = cfg.model_args
+    ma.gpt_layers, ma.gpt_n_model_channels, ma.gpt_n_heads = (
+        GPT_LAYERS, GPT_DIM, GPT_HEADS)
+    ma.min_text_length, ma.max_text_length = 2, 4
+    ma.min_conditioning_length, ma.max_conditioning_length = 24000, 36000
+    ma.mel_norm_file = None
+    if need_gpt_ckpt:
+        ma.gpt_checkpoint = paths["gpt"]
+        ma.min_text_length = ma.max_text_length = 2
+    vae_kw = dict(codebook_dim=24, hidden_dim=DVAE_HIDDEN,
+                  num_resnet_blocks=3, kernel_size=3, num_layers=2)
+    for k, v in dict(num_channels=80, num_tokens=64, **vae_kw).items():
+        setattr(cfg.acoustic_dvae_config, k, v)
+    for k, v in dict(num_channels=256, num_tokens=36, **vae_kw).items():
+        setattr(cfg.content_dvae_config, k, v)
+    vc = cfg.vocoder_config
+    vc.input_feat_dim = GPT_DIM
+    vc.upsample_initial_channel = 16
+    vc.msstftd_filters = 4
+    vc.mssbcqtd_filters = 4
+    vc.mssbcqtd_hop_lengths = [512]
+    vc.mssbcqtd_n_octavess = [5]
+    vc.mssbcqtd_bins_per_octave = [12]
+    return cfg
+
+
+def smoke_vae_overrides(cfg, assets_dir):
+    """Shrink a VAEConfig in place for a 2-step smoke run."""
+    sr = cfg.audio.dvae_sample_rate
+    meta = make_sine_dataset(assets_dir, sr=sr, dur=0.6 if sr == 24000 else 1.2)
+    cfg.train_metafile = meta
+    cfg.test_metafile = meta
+    cfg.batch_size = 2
+    cfg.eval_batch_size = 2
+    cfg.num_loader_workers = 2
+    cfg.epochs = 1
+    cfg.max_wav_len = sr
+    cfg.mel_norm_file = None
+    if cfg.feat_type != "Mel-spectrogram":
+        paths = write_stage_ckpts(assets_dir)
+        cfg.contentvec_model_path = paths["contentvec"]
+    cfg.num_tokens = 32
+    cfg.codebook_dim = 16
+    cfg.hidden_dim = 8
+    cfg.num_resnet_blocks = 1
+    cfg.num_layers = 2
+    return cfg

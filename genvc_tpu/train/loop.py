@@ -109,10 +109,21 @@ def fit(state, train_step: Callable, train_loader, *,
         eval_loader=None, ckpt: Optional[CheckpointManager] = None,
         save_step: int = 5000, print_step: int = 50,
         to_device: Callable = lambda b: b, start_step: int = 0,
-        on_epoch_end: Optional[Callable] = None):
-    """Run the training loop; returns the final state."""
+        on_epoch_end: Optional[Callable] = None,
+        max_steps: Optional[int] = None,
+        max_eval_batches: Optional[int] = None):
+    """Run the training loop; returns the final state.
+
+    max_steps caps TOTAL optimizer steps (incl. resumed ones) — training
+    stops mid-epoch when reached. max_eval_batches caps the per-epoch eval
+    pass (the reference runs its full 9k-line test metafile every epoch,
+    which is an epoch-scale cost — cap it for production runs).
+    """
     step = start_step
+    done = max_steps is not None and step >= max_steps
     for epoch in range(epochs):
+        if done:
+            break
         avg = MetricAverager()
         t0 = time.time()
         for batch in train_loader:
@@ -129,11 +140,16 @@ def fit(state, train_step: Callable, train_loader, *,
                             "steps_per_sec": rate}, step=step)
             if ckpt is not None and step % save_step == 0:
                 ckpt.save(step, state)
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
         train_avg = avg.averages()
         log = {f"avg_{k}": v for k, v in train_avg.items()}
         if eval_step is not None and eval_loader is not None:
             eavg = MetricAverager()
-            for batch in eval_loader:
+            for i, batch in enumerate(eval_loader):
+                if max_eval_batches is not None and i >= max_eval_batches:
+                    break
                 eavg.update(eval_step(state, to_device(batch)))
             log.update({f"Eval_avg_{k}": v for k, v in eavg.averages().items()})
         log["epoch"] = epoch

@@ -58,16 +58,24 @@ def _load_dvae(path, name="dvae"):
     return jax.tree.map(jnp.asarray, ckpt_lib.convert_dvae(sd))
 
 
-def _data_mesh(batch_size: int | None = None):
-    n = len(jax.devices())
+def _data_mesh(batch_size: int | None = None, n_model: int = 1):
+    n = len(jax.devices()) // n_model
     if batch_size is not None:
         while n > 1 and batch_size % n:
             n -= 1
-    return mesh_lib.make_mesh(n_data=n, n_model=1,
-                              devices=jax.devices()[:n])
+    return mesh_lib.make_mesh(n_data=n, n_model=n_model,
+                              devices=jax.devices()[: n * n_model])
 
 
-def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
+def _loader_shards():
+    """Multi-host data parallelism: each process reads a disjoint stride of
+    the sample space (SURVEY.md §2.2 DistributedSampler analogue)."""
+    return dict(num_shards=jax.process_count(),
+                shard_index=jax.process_index())
+
+
+def run_vae_training(cfg: VAEConfig, max_steps: int | None = None,
+                     max_eval_batches: int | None = None):
     mesh = _data_mesh(cfg.batch_size)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
@@ -97,9 +105,11 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
     eval_ds = WaveformDVAEDataset(cfg.test_metafile, True,
                                   cfg.audio.dvae_sample_rate, cfg.max_wav_len)
     train_loader = BatchLoader(train_ds, cfg.batch_size,
-                               num_workers=cfg.num_loader_workers)
+                               num_workers=cfg.num_loader_workers,
+                               **_loader_shards())
     eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
-                              num_workers=cfg.num_loader_workers)
+                              num_workers=cfg.num_loader_workers,
+                              **_loader_shards())
 
     ckpt = loop.CheckpointManager(os.path.join(cfg.output_path, "ckpt"),
                                   cfg.save_n_checkpoints)
@@ -142,12 +152,22 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None):
                      logger=logger, eval_step=jit_eval,
                      eval_loader=eval_loader, ckpt=ckpt,
                      save_step=cfg.save_step, to_device=to_dev,
-                     start_step=int(step0 or 0), on_epoch_end=on_epoch_end)
+                     start_step=int(step0 or 0), on_epoch_end=on_epoch_end,
+                     max_steps=max_steps, max_eval_batches=max_eval_batches)
     return state
 
 
-def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
-    mesh = _data_mesh(cfg.batch_size)
+def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None,
+                     max_eval_batches: int | None = None, n_model: int = 1,
+                     bf16: bool = False):
+    """n_model > 1 enables megatron-style tensor parallelism over a 2-D
+    (data, model) mesh: GPT attention/MLP weights shard column/row-parallel
+    (parallel/mesh.py:gpt_param_specs) and GSPMD inserts the ICI
+    all-reduces. The flagship fits one chip, so this is a capability knob.
+
+    bf16=True runs the trainable GPT's matmuls in bfloat16 (f32 master
+    params; frozen tokenizers stay full precision — see gpt_stage)."""
+    mesh = _data_mesh(cfg.batch_size, n_model=n_model)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
     logger.print(f"devices: {jax.devices()}")
@@ -181,7 +201,6 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
     lsp = cfg.lr_scheduler_params or {}
     milestones_epochs = lsp.get("milestones", [10, 25, 35, 50])
     gamma = lsp.get("gamma", 0.5)
-    steps_per_epoch = max_steps or 1000  # refined below once dataset is known
 
     train_ds = VCWaveDataset(VCDatasetConfig(
         meta_file=cfg.train_metafile, sample_rate=cfg.audio.sample_rate,
@@ -199,10 +218,12 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
         use_masking_gt_prompt_approach=ma.gpt_use_masking_gt_prompt_approach,
         is_eval=True))
     train_loader = BatchLoader(train_ds, cfg.batch_size,
-                               num_workers=cfg.num_loader_workers)
+                               num_workers=cfg.num_loader_workers,
+                               **_loader_shards())
     eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
-                              num_workers=cfg.num_loader_workers)
-    steps_per_epoch = len(train_loader)
+                              num_workers=cfg.num_loader_workers,
+                              **_loader_shards())
+    steps_per_epoch = max(len(train_loader), 1)
     sched = optim.multistep_schedule(
         cfg.lr if isinstance(cfg.lr, float) else cfg.lr[0],
         [m * steps_per_epoch for m in milestones_epochs], gamma)
@@ -211,13 +232,18 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
     tx = optim.adamw_grouped(sched, betas=tuple(op["betas"]), eps=op["eps"],
                              weight_decay=op["weight_decay"],
                              max_grad_norm=cfg.max_grad_norm, params=params)
+    # place params on the mesh: replicated for pure DP, megatron-sharded over
+    # 'model' for TP; optimizer moments inherit the placement via zeros_like
+    specs = mesh_lib.gpt_param_specs(params)
+    params = mesh_lib.shard_tree(params, specs, mesh)
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
 
     train_step, eval_step = gpt_stage.make_train_step(
         gcfg, tx,
         text_ce_weight=ma.gpt_loss_text_ce_weight,
         mel_ce_weight=ma.gpt_loss_mel_ce_weight,
-        fix_condition_embeddings=ma.gpt_fix_condition_embeddings)
+        fix_condition_embeddings=ma.gpt_fix_condition_embeddings,
+        compute_dtype=jnp.bfloat16 if bf16 else None)
     _jit_train = jax.jit(train_step, donate_argnums=(0,))
     _jit_eval = jax.jit(lambda s, b, fz: eval_step(s.params, b, fz))
     jit_train = lambda s, b: _jit_train(s, b, frozen)
@@ -267,11 +293,14 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None):
                      eval_loader=eval_loader, ckpt=ckpt,
                      save_step=cfg.save_step, print_step=cfg.print_step,
                      to_device=to_dev, start_step=int(step0 or 0),
-                     on_epoch_end=on_epoch_end)
+                     on_epoch_end=on_epoch_end,
+                     max_steps=max_steps, max_eval_batches=max_eval_batches)
     return state
 
 
-def run_vocoder_training(cfg: GenVCConfig):
+def run_vocoder_training(cfg: GenVCConfig, max_steps: int | None = None,
+                         max_eval_batches: int | None = None,
+                         families_per_program: int = 2):
     mesh = _data_mesh(cfg.batch_size)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
@@ -327,9 +356,11 @@ def run_vocoder_training(cfg: GenVCConfig):
         use_masking_gt_prompt_approach=ma.gpt_use_masking_gt_prompt_approach,
         is_eval=True))
     train_loader = BatchLoader(train_ds, cfg.batch_size,
-                               num_workers=cfg.num_loader_workers)
+                               num_workers=cfg.num_loader_workers,
+                               **_loader_shards())
     eval_loader = BatchLoader(eval_ds, cfg.eval_batch_size, shuffle=False,
-                              num_workers=cfg.num_loader_workers)
+                              num_workers=cfg.num_loader_workers,
+                              **_loader_shards())
 
     import optax
 
@@ -353,10 +384,13 @@ def run_vocoder_training(cfg: GenVCConfig):
     scale = int(ma.gpt_code_stride_len // cfg.vocoder_config.hop_length)
     # split-program GAN step: the fused single-program variant
     # (make_train_step) exceeds compile-memory limits on constrained
-    # compile services; the split is mathematically identical
+    # compile services; the split is mathematically identical.
+    # families_per_program trades dispatch count for compile size (4 -> only
+    # 4 device programs/step with fused optimizer updates).
     train_step, eval_step = vocoder_stage.make_split_steps(
         gcfg, cfg.vocoder_config, cqt_statics,
-        gen_tx, disc_tx, scale_factor=scale)
+        gen_tx, disc_tx, scale_factor=scale,
+        families_per_program=families_per_program)
     jit_train = lambda s, b: train_step(s, b, frozen, gpt_params)
     jit_eval = lambda s, b: eval_step(s, b, frozen, gpt_params)
 
@@ -372,5 +406,6 @@ def run_vocoder_training(cfg: GenVCConfig):
                      logger=logger, eval_step=jit_eval,
                      eval_loader=eval_loader, ckpt=ckpt,
                      save_step=cfg.save_step, print_step=cfg.print_step,
-                     to_device=to_dev, start_step=int(step0 or 0))
+                     to_device=to_dev, start_step=int(step0 or 0),
+                     max_steps=max_steps, max_eval_batches=max_eval_batches)
     return state

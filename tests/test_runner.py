@@ -111,6 +111,72 @@ def test_gpt_runner_end_to_end(tmp_path):
     assert int(state.step) == 2
 
 
+def test_loader_process_shards_disjoint():
+    """Two processes (num_shards=2) must see disjoint samples covering the
+    dataset (multi-host DP contract, SURVEY.md §2.2)."""
+    from genvc_tpu.data.loader import BatchLoader
+
+    class IdxDataset:
+        def __len__(self):
+            return 16
+
+        def collate(self, idx, rng):
+            return list(idx)
+
+    seen = []
+    for shard in range(2):
+        ld = BatchLoader(IdxDataset(), batch_size=2, shuffle=True,
+                         num_workers=1, seed=7, num_shards=2,
+                         shard_index=shard)
+        assert len(ld) == 4
+        got = [i for b in ld for i in b]
+        assert len(got) == 8
+        seen.append(set(got))
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(16))
+
+
+def test_max_steps_honored(tmp_path):
+    from genvc_tpu.config import AudioConfig, VAEConfig
+    from genvc_tpu.train.runner import run_vae_training
+
+    meta = make_dataset(tmp_path)
+    cfg = VAEConfig(
+        audio=AudioConfig(dvae_sample_rate=24000, sample_rate=24000),
+        mel_norm_file=None, feat_type="Mel-spectrogram",
+        batch_size=4, eval_batch_size=4, num_loader_workers=2,
+        max_wav_len=24000, train_metafile=meta, test_metafile=meta,
+        epochs=5, grad_clip_norm=0.5, lr=1e-3,
+        output_path=str(tmp_path / "exp_ms"), save_step=100,
+        num_channels=80, num_tokens=32, codebook_dim=16, hidden_dim=8,
+        num_resnet_blocks=1, kernel_size=3, num_layers=2)
+    state = run_vae_training(cfg, max_steps=1, max_eval_batches=1)
+    assert int(state.step) == 1
+
+
+def test_gpt_runner_tensor_parallel(tmp_path):
+    """run_gpt_training itself over a (2x2) data x model mesh: megatron
+    sharding reaches the real runner, not just the dryrun (VERDICT r1 #5).
+    GPT_DIM=64 divides by n_model=2 for the column/row-parallel specs."""
+    import jax
+    from genvc_tpu.train.runner import run_gpt_training
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    meta = make_dataset(tmp_path, n=4, dur=1.6)
+    cv, ad, cd, gpt = _write_stage_ckpts(tmp_path)
+    cfg = _tiny_gen_cfg(tmp_path, meta, cv, ad, cd)
+    cfg.output_path = str(tmp_path / "exp_tp")
+    state = run_gpt_training(cfg, max_steps=2, max_eval_batches=1, n_model=2)
+    assert int(state.step) == 2
+    # attention qkv weights really sharded over 'model'
+    w = state.params["core"]["blocks"]["attn"]["c_attn"]["w"]
+    spec = w.sharding.spec
+    assert "model" in str(spec)
+
+
 def test_vocoder_runner_end_to_end(tmp_path):
     from genvc_tpu.train.runner import run_vocoder_training
 

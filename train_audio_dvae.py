@@ -17,6 +17,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--use_wandb", action="store_true")
     ap.add_argument("--num_workers", type=int, default=16)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--max_eval_batches", type=int, default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="2-step end-to-end smoke on synthetic data")
     args = ap.parse_args()
 
     from genvc_tpu.config import AudioConfig, VAEConfig
@@ -35,7 +39,15 @@ def main():
         wandb_run_name="libritts", save_n_checkpoints=2, save_step=5000,
         num_channels=80, num_tokens=1024, codebook_dim=512, hidden_dim=512,
         num_resnet_blocks=3, kernel_size=3, num_layers=2)
-    run_vae_training(cfg)
+    if args.smoke:
+        from genvc_tpu.testing_synthetic import smoke_vae_overrides
+
+        cfg.output_path = "exp/smoke_audio_dvae"
+        smoke_vae_overrides(cfg, "exp/smoke_assets_advae")
+        run_vae_training(cfg, max_steps=2, max_eval_batches=1)
+        return
+    run_vae_training(cfg, max_steps=args.max_steps,
+                     max_eval_batches=args.max_eval_batches)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,15 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--use_wandb", action="store_true")
     ap.add_argument("--num_workers", type=int, default=24)
+    ap.add_argument("--n_model", type=int, default=1,
+                    help="tensor-parallel mesh axis size (megatron sharding)")
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--max_eval_batches", type=int, default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="2-step end-to-end smoke on synthetic data")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute on the trainable GPT "
+                         "(f32 master params; frozen tokenizers stay f32)")
     args = ap.parse_args()
 
     from genvc_tpu.config import (AudioConfig, GenVCConfig, GPTModelArgs,
@@ -68,7 +77,17 @@ def main():
         train_metafile=args.train_metafile, test_metafile=args.test_metafile,
         use_wandb=args.use_wandb, wandb_project="genVC",
         wandb_run_name="libritts")
-    run_gpt_training(cfg)
+    if args.smoke:
+        from genvc_tpu.testing_synthetic import smoke_overrides
+
+        cfg.output_path = "exp/smoke_gpt"
+        smoke_overrides(cfg, "exp/smoke_assets")
+        run_gpt_training(cfg, max_steps=2, max_eval_batches=1,
+                         n_model=args.n_model, bf16=args.bf16)
+        return
+    run_gpt_training(cfg, max_steps=args.max_steps,
+                     max_eval_batches=args.max_eval_batches,
+                     n_model=args.n_model, bf16=args.bf16)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--use_wandb", action="store_true")
     ap.add_argument("--num_workers", type=int, default=24)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--max_eval_batches", type=int, default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="2-step end-to-end smoke on synthetic data")
     args = ap.parse_args()
 
     from genvc_tpu.config import (AudioConfig, GenVCConfig, GPTModelArgs,
@@ -71,7 +75,15 @@ def main():
         max_grad_norm=1.0, train_metafile=args.train_metafile,
         test_metafile=args.test_metafile, use_wandb=args.use_wandb,
         wandb_project="hifi-gan", wandb_run_name="libritts")
-    run_vocoder_training(cfg)
+    if args.smoke:
+        from genvc_tpu.testing_synthetic import smoke_overrides
+
+        cfg.output_path = "exp/smoke_vocoder"
+        smoke_overrides(cfg, "exp/smoke_assets_voc", need_gpt_ckpt=True)
+        run_vocoder_training(cfg, max_steps=2, max_eval_batches=1)
+        return
+    run_vocoder_training(cfg, max_steps=args.max_steps,
+                         max_eval_batches=args.max_eval_batches)
 
 
 if __name__ == "__main__":
