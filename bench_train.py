@@ -5,7 +5,9 @@ JSON line with the full training step time (on-device feature extraction +
 fwd/bwd + AdamW) at a reference-recipe-like shape.
 
 Env knobs: TRAIN_BATCH (default 8), TRAIN_TEXT_LEN (default 50 content tokens
-= 4 s audio per sample), TRAIN_LAYERS (default 30).
+= 4 s audio per sample), TRAIN_LAYERS (default 30), TRAIN_DTYPE
+(bf16|f32, default bf16 — bf16 compute on the trainable GPT, f32 master
+params), TPU_PEAK_TFLOPS (default 197 = v5e bf16 peak, for the MFU figure).
 """
 
 import json
@@ -37,6 +39,9 @@ def main():
     batch = int(os.environ.get("TRAIN_BATCH", "8"))
     text_len = int(os.environ.get("TRAIN_TEXT_LEN", "50"))
     layers = int(os.environ.get("TRAIN_LAYERS", "30"))
+    use_bf16 = os.environ.get("TRAIN_DTYPE", "bf16") == "bf16"
+    use_remat = os.environ.get("TRAIN_REMAT", "0") == "1"
+    peak_tflops = float(os.environ.get("TPU_PEAK_TFLOPS", "197"))
 
     cfg = GenVCConfig()
     for c, ch, nt in ((cfg.acoustic_dvae_config, 80, 1024),
@@ -60,7 +65,9 @@ def main():
     tx = optim.adamw_grouped(optim.multistep_schedule(1e-4, [10000], 0.5),
                              params=params)
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
-    train_step, _ = gpt_stage.make_train_step(gcfg, tx)
+    train_step, _ = gpt_stage.make_train_step(
+        gcfg, tx, compute_dtype=jnp.bfloat16 if use_bf16 else None,
+        remat=use_remat)
     _jit = jax.jit(train_step, donate_argnums=(0,))
     jit_step = lambda s, b: _jit(s, b, frozen)
 
@@ -76,20 +83,42 @@ def main():
         "text_lengths": jnp.full((batch,), text_len, jnp.int32),
     }
     b0 = make()
+    # XLA's own FLOP count for the whole step (feature extraction + fwd/bwd +
+    # AdamW) — the honest numerator for MFU
+    step_flops = None
+    try:
+        ca = _jit.lower(state, b0, frozen).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     t0 = time.perf_counter()
     state, metrics = jit_step(state, b0)
     jax.block_until_ready(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
     n = int(os.environ.get("TRAIN_STEPS", "10"))
+    # pre-stage batches on device: in production the loader prefetch overlaps
+    # the host->device copy with compute; through the dev tunnel an in-loop
+    # upload (~5 MB/step) would otherwise dominate the measurement
+    batches = [jax.device_put(make()) for _ in range(n)]
+    jax.block_until_ready(batches[-1]["wav"])
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = jit_step(state, make())
+    for bi in batches:
+        state, metrics = jit_step(state, bi)
     jax.block_until_ready(metrics["loss"])
     step_ms = (time.perf_counter() - t0) / n * 1000
 
     tokens_per_step = batch * text_len * (1 + 1.875)  # text + audio tokens
-    print(json.dumps({
+    # analytic transformer FLOPs (XLA cost_analysis misses Pallas custom
+    # calls): 6·tokens·P_core fwd+bwd, +1 recompute pass under remat
+    mel_tokens = t_wav // 1024 + 6  # codes + start/stop/pad formatting
+    seq_tokens = batch * (32 + text_len + 2 + mel_tokens)
+    p_core = 12 * layers * 1024 * 1024
+    flops_analytic = 6 * seq_tokens * p_core * (4 / 3 if use_remat else 1.0)
+    result = {
         "metric": "gpt_train_step_ms",
         "value": round(step_ms, 1),
         "unit": "ms",
@@ -97,11 +126,20 @@ def main():
         "batch": batch,
         "text_len": text_len,
         "layers": layers,
+        "dtype": "bf16" if use_bf16 else "f32",
         "loss": round(float(metrics["loss"]), 3),
         "tokens_per_sec": round(tokens_per_step / (step_ms / 1000), 0),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    result["remat"] = use_remat
+    achieved = flops_analytic / (step_ms / 1000)
+    result["tflops_per_sec"] = round(achieved / 1e12, 1)
+    result["mfu"] = round(achieved / (peak_tflops * 1e12), 3)
+    if step_flops:
+        # XLA's own count (undercounts Pallas custom calls) for reference
+        result["xla_flops_per_step"] = step_flops
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -227,6 +227,7 @@ def forward_train(
     return_latent: bool = False,
     fix_condition_embeddings: bool = False,
     train: bool = True,
+    remat: bool = True,
 ):
     """Teacher-forced forward (reference: gpt.py:375-537).
 
@@ -284,7 +285,8 @@ def forward_train(
         key_valid = jnp.concatenate(
             [jnp.ones((b, n_cond), bool), text_valid, mel_valid], axis=1)
 
-    h = core_forward(params["core"], emb, cfg, key_valid=key_valid)
+    h = core_forward(params["core"], emb, cfg, key_valid=key_valid,
+                     remat=remat)
     enc = nn.layer_norm(params["final_norm"], h[:, n_cond:])
 
     if return_latent:

@@ -143,13 +143,13 @@ def prepare_features(frozen: FrozenModules, batch: dict) -> dict:
 
 def loss_fn(params, gcfg: gpt_model.GPTConfig, feats: dict,
             text_ce_weight: float, mel_ce_weight: float,
-            fix_condition_embeddings: bool = True):
+            fix_condition_embeddings: bool = True, remat: bool = True):
     loss_text, loss_mel, top10, _ = gpt_model.forward_train(
         params, gcfg,
         feats["text_inputs"], feats["text_lengths"],
         feats["audio_codes"], feats["wav_lengths"],
         cond_mels=feats["cond_mels"], cond_lens=feats["cond_lens"],
-        fix_condition_embeddings=fix_condition_embeddings)
+        fix_condition_embeddings=fix_condition_embeddings, remat=remat)
     loss = text_ce_weight * loss_text + mel_ce_weight * loss_mel
     return loss, {"loss": loss, "loss_text_ce": loss_text,
                   "loss_mel_ce": loss_mel, "top10acc": top10}
@@ -158,23 +158,48 @@ def loss_fn(params, gcfg: gpt_model.GPTConfig, feats: dict,
 def make_train_step(gcfg: gpt_model.GPTConfig,
                     tx: optax.GradientTransformation,
                     text_ce_weight: float = 0.01, mel_ce_weight: float = 1.0,
-                    fix_condition_embeddings: bool = True):
+                    fix_condition_embeddings: bool = True,
+                    compute_dtype=None, remat: bool = False):
     """Returns (train_step, eval_step); both take the FrozenModules pytree as
-    an explicit argument (see FrozenModules docstring)."""
+    an explicit argument (see FrozenModules docstring).
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision on the TRAINABLE
+    GPT only: f32 master params/moments, bf16 forward/backward matmuls on the
+    MXU (losses stay f32 — _masked_ce upcasts logits). The frozen tokenizer
+    path (prepare_features) keeps HIGHEST precision — a bf16 rounding there
+    can flip a VQ code index, changing the training targets themselves.
+
+    ``remat=False`` (default) stores block activations for backward — at
+    GenVC shapes (≤1.1k context, batch ≤24 -> ≈5 GB) HBM is plentiful and
+    skipping the recompute saves ~25% of the GPT step; set True for
+    memory-constrained outliers.
+    """
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+    def _loss(params, feats):
+        if compute_dtype is not None:
+            feats = dict(feats,
+                         cond_mels=feats["cond_mels"].astype(compute_dtype))
+        return loss_fn(_cast(params), gcfg, feats, text_ce_weight,
+                       mel_ce_weight, fix_condition_embeddings, remat=remat)
 
     def train_step(state: GPTTrainState, batch: dict, frozen: FrozenModules):
         feats = jax.lax.stop_gradient(prepare_features(frozen, batch))
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, gcfg, feats, text_ce_weight, mel_ce_weight,
-            fix_condition_embeddings)
+        (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params, feats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return GPTTrainState(params, opt_state, state.step + 1), metrics
 
     def eval_step(params, batch: dict, frozen: FrozenModules):
         feats = prepare_features(frozen, batch)
-        _, metrics = loss_fn(params, gcfg, feats, text_ce_weight,
-                             mel_ce_weight, fix_condition_embeddings)
+        _, metrics = _loss(params, feats)
         return metrics
 
     return train_step, eval_step
