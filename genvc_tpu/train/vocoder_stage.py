@@ -166,23 +166,31 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
 
 def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                      cqt_statics, gen_tx, disc_tx, scale_factor: int = 4,
-                     per_family: bool = False):
-    """Split-program variant of the GAN step: prepare / render / discriminator
-    update / generator update as separate jitted programs (the fused
-    single-program step can exceed compile-memory limits — the 4 discriminator
-    families fwd+bwd in one XLA program is a ~50 MB MLIR payload).
+                     per_family: bool = False,
+                     families_per_program: int | None = None):
+    """Split-program variant of the GAN step (the fused single-program
+    make_train_step can exceed compile-memory limits: the frozen GPT + 4
+    discriminator families fwd+bwd in one XLA program is a ~50 MB MLIR
+    payload). Mathematically identical to the fused step — the total loss is
+    a sum over families, so gradients computed per group and summed match.
 
-    ``per_family=True`` splits gradient computation per discriminator family
-    (finest granularity; gradients are summed before the optimizer update —
-    mathematically identical since the total loss is a sum over families).
+    ``families_per_program`` controls dispatch count vs compile size:
+      4 -> 4 programs/step: prepare | render | disc fwd+bwd+UPDATE |
+           gen fwd+bwd+mel+UPDATE (optimizer updates fused into the grad
+           programs — minimum launches, biggest programs)
+      2 -> 8 programs/step (two-family chunks, separate update programs)
+      1 -> 13 programs/step (round-1 behavior; ``per_family=True`` alias)
     Returns (train_step, eval_step) with the same call signature as
-    make_train_step; train_step runs several device programs per batch.
+    make_train_step.
     """
     families = ("MSD_Discriminator", "MPD_Discriminator",
                 "MSTFT_Discriminator", "MSCQT_Discriminator")
     fam_key = {"MSD_Discriminator": "msd", "MPD_Discriminator": "mpd",
                "MSTFT_Discriminator": "msstftd",
                "MSCQT_Discriminator": "mssbcqtd"}
+    fpp = families_per_program or (1 if per_family else 2)
+    chunks = [families[i : i + fpp] for i in range(0, len(families), fpp)]
+    fuse_updates = len(chunks) == 1
 
     def run_family(name, disc_family_params, y, y_hat):
         if name == "MSD_Discriminator":
@@ -205,76 +213,111 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         x = linear_interp_x4(x, scale_factor)
         return hifigan.generator_forward(gen_params, x, voc_cfg)
 
-    def _disc_loss_family(name):
-        def f(fam_params, y, y_hat):
-            lr, lg, _, _ = run_family(name, fam_params, y, y_hat)
-            return losses.discriminator_loss(lr, lg)
+    # ---- discriminator phase --------------------------------------------
+    # chunk program: summed loss + grads for its families' param subtree
+
+    def _disc_loss_chunk(chunk):
+        def f(sub_params, y, y_hat):
+            total = 0.0
+            for name in chunk:
+                lr, lg, _, _ = run_family(name, sub_params[fam_key[name]],
+                                          y, y_hat)
+                total = total + losses.discriminator_loss(lr, lg)
+            return total
         return f
 
-    disc_fam_grads = {name: jax.jit(jax.value_and_grad(_disc_loss_family(name)))
-                      for name in families}
+    if fuse_updates:
+        @jax.jit
+        def disc_fused(disc_params, disc_opt, y, y_hat):
+            loss, grads = jax.value_and_grad(_disc_loss_chunk(families))(
+                disc_params, y, y_hat)
+            updates, disc_opt = disc_tx.update(grads, disc_opt, disc_params)
+            return optax.apply_updates(disc_params, updates), disc_opt, loss
+    else:
+        disc_chunk_grads = [
+            jax.jit(jax.value_and_grad(_disc_loss_chunk(chunk)))
+            for chunk in chunks]
 
-    def _gen_loss_family(name):
-        def f(gen_params, fam_params, latents, y):
-            # render inside for gradient flow to the generator
+        @jax.jit
+        def disc_update(disc_params, disc_opt, grad_subsets):
+            grads = {k: v for sub in grad_subsets for k, v in sub.items()}
+            updates, disc_opt = disc_tx.update(grads, disc_opt, disc_params)
+            return optax.apply_updates(disc_params, updates), disc_opt
+
+    # ---- generator phase -------------------------------------------------
+    # each chunk re-renders inside (gradient flow to the generator); chunk 0
+    # also carries the mel x45 loss
+
+    def _gen_loss_chunk(chunk, with_mel):
+        def f(gen_params, disc_params, latents, y):
             x = jnp.swapaxes(latents, 1, 2)
             x = linear_interp_x4(x, scale_factor)
             y_hat = hifigan.generator_forward(gen_params, x, voc_cfg)
-            lr, lg, fr, fg = run_family(name, fam_params, y, y_hat)
-            return losses.feature_loss(fr, fg) + losses.generator_adv_loss(lg)
+            total = 0.0
+            for name in chunk:
+                lr, lg, fr, fg = run_family(name, disc_params[fam_key[name]],
+                                            y, y_hat)
+                total = total + losses.feature_loss(fr, fg) \
+                    + losses.generator_adv_loss(lg)
+            ml = losses.mel_loss(y[:, 0, :], y_hat[:, 0, :], voc_cfg) \
+                if with_mel else jnp.float32(0.0)
+            return total + ml, ml
         return f
 
-    gen_fam_grads = {name: jax.jit(jax.value_and_grad(_gen_loss_family(name)))
-                     for name in families}
+    if fuse_updates:
+        @jax.jit
+        def gen_fused(gen_params, gen_opt, disc_params, latents, y):
+            (loss, ml), grads = jax.value_and_grad(
+                _gen_loss_chunk(families, True), has_aux=True)(
+                gen_params, disc_params, latents, y)
+            updates, gen_opt = gen_tx.update(grads, gen_opt, gen_params)
+            return (optax.apply_updates(gen_params, updates), gen_opt,
+                    loss, ml)
+    else:
+        gen_chunk_grads = [
+            jax.jit(jax.value_and_grad(_gen_loss_chunk(chunk, i == 0),
+                                       has_aux=True))
+            for i, chunk in enumerate(chunks)]
 
-    @jax.jit
-    def gen_mel_grad(gen_params, latents, y):
-        def f(gp):
-            x = jnp.swapaxes(latents, 1, 2)
-            x = linear_interp_x4(x, scale_factor)
-            y_hat = hifigan.generator_forward(gp, x, voc_cfg)
-            return losses.mel_loss(y[:, 0, :], y_hat[:, 0, :], voc_cfg)
-        return jax.value_and_grad(f)(gen_params)
-
-    @jax.jit
-    def disc_update(disc_params, disc_opt, grads):
-        updates, disc_opt = disc_tx.update(grads, disc_opt, disc_params)
-        return optax.apply_updates(disc_params, updates), disc_opt
-
-    @jax.jit
-    def gen_update(gen_params, gen_opt, grads):
-        updates, gen_opt = gen_tx.update(grads, gen_opt, gen_params)
-        return optax.apply_updates(gen_params, updates), gen_opt
+        @jax.jit
+        def gen_update(gen_params, gen_opt, grad_list):
+            grads = jax.tree.map(lambda *g: sum(g), *grad_list)
+            updates, gen_opt = gen_tx.update(grads, gen_opt, gen_params)
+            return optax.apply_updates(gen_params, updates), gen_opt
 
     def train_step(state: VocoderTrainState, batch: dict,
                    frozen: FrozenModules, gpt_params):
         latents, wav_gt = prepare_fn(batch, frozen, gpt_params)
         y_hat = render_fn(state.gen_params, latents)
 
-        d_losses = []
-        d_grads = {}
-        for name in families:
-            key = fam_key[name]
-            l, g = disc_fam_grads[name](state.disc_params[key], wav_gt, y_hat)
-            d_losses.append(l)
-            d_grads[key] = g
-        disc_params, disc_opt = disc_update(state.disc_params, state.disc_opt,
-                                            d_grads)
+        if fuse_updates:
+            disc_params, disc_opt, d_loss = disc_fused(
+                state.disc_params, state.disc_opt, wav_gt, y_hat)
+            gen_params, gen_opt, g_loss, ml = gen_fused(
+                state.gen_params, state.gen_opt, disc_params, latents, wav_gt)
+            d_losses, g_losses = [d_loss], [g_loss]
+        else:
+            d_losses, d_grad_subs = [], []
+            for chunk, vg in zip(chunks, disc_chunk_grads):
+                sub = {fam_key[n]: state.disc_params[fam_key[n]]
+                       for n in chunk}
+                l, g = vg(sub, wav_gt, y_hat)
+                d_losses.append(l)
+                d_grad_subs.append(g)
+            disc_params, disc_opt = disc_update(
+                state.disc_params, state.disc_opt, d_grad_subs)
 
-        g_losses = []
-        g_grads = None
-        for name in families:
-            key = fam_key[name]
-            l, g = gen_fam_grads[name](state.gen_params, disc_params[key],
-                                       latents, wav_gt)
-            g_losses.append(l)
-            g_grads = g if g_grads is None else jax.tree.map(
-                jnp.add, g_grads, g)
-        ml, mg = gen_mel_grad(state.gen_params, latents, wav_gt)
-        g_losses.append(ml)
-        g_grads = jax.tree.map(jnp.add, g_grads, mg)
-        gen_params, gen_opt = gen_update(state.gen_params, state.gen_opt,
-                                         g_grads)
+            g_losses, g_grad_list = [], []
+            ml = None
+            for vg in gen_chunk_grads:
+                (l, ml_c), g = vg(state.gen_params, disc_params, latents,
+                                  wav_gt)
+                g_losses.append(l)
+                g_grad_list.append(g)
+                if ml is None:
+                    ml = ml_c
+            gen_params, gen_opt = gen_update(state.gen_params, state.gen_opt,
+                                             g_grad_list)
 
         # one combined fetch of all loss scalars (no per-family syncs)
         vals = jax.device_get((d_losses, g_losses, ml))
@@ -284,16 +327,17 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         return VocoderTrainState(gen_params, disc_params, gen_opt, disc_opt,
                                  state.step + 1), metrics
 
+    @jax.jit
+    def eval_losses(state: VocoderTrainState, latents, wav_gt):
+        y_hat = render_fn(state.gen_params, latents)
+        d_loss = _disc_loss_chunk(families)(state.disc_params, wav_gt, y_hat)
+        ml = losses.mel_loss(wav_gt[:, 0, :], y_hat[:, 0, :], voc_cfg)
+        return d_loss, ml
+
     def eval_step(state: VocoderTrainState, batch: dict,
                   frozen: FrozenModules, gpt_params):
         latents, wav_gt = prepare_fn(batch, frozen, gpt_params)
-        y_hat = render_fn(state.gen_params, latents)
-        d_losses = [disc_fam_grads[name](state.disc_params[fam_key[name]],
-                                         wav_gt, y_hat)[0]
-                    for name in families]
-        ml, _ = gen_mel_grad(state.gen_params, latents, wav_gt)
-        vals = jax.device_get((d_losses, ml))
-        return {"loss_disc": float(np.sum(vals[0])),
-                "mel_loss": float(vals[1])}
+        d_loss, ml = jax.device_get(eval_losses(state, latents, wav_gt))
+        return {"loss_disc": float(d_loss), "mel_loss": float(ml)}
 
     return train_step, eval_step
