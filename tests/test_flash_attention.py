@@ -30,13 +30,19 @@ def test_flash_matches_reference(t):
 
 
 @pytest.mark.skipif(not _HAS_PALLAS, reason="pallas unavailable")
-def test_flash_backward_matches_reference():
+@pytest.mark.parametrize("t,masked", [(128, False), (200, True)])
+def test_flash_backward_matches_reference(t, masked):
+    """Pallas dq/dk/dv kernels vs dense-path autodiff, incl. the padded-tail
+    (t=200 -> 256) and key-masked cases."""
     rng = np.random.default_rng(1)
-    b, h, t, hd = 1, 2, 128, 64
+    b, h, hd = 2, 2, 64
     q = jnp.asarray(rng.standard_normal((b, h, t, hd)) * 0.3, jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, t, hd)) * 0.3, jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, h, t, hd)) * 0.3, jnp.float32)
-    kv_valid = jnp.ones((b, t), bool)
+    kv_valid = np.ones((b, t), bool)
+    if masked:
+        kv_valid[1, t - 43:] = False
+    kv_valid = jnp.asarray(kv_valid)
 
     def loss_flash(q, k, v):
         return jnp.sum(flash_attention(q, k, v, kv_valid, interpret=True) ** 2)
