@@ -112,7 +112,7 @@ def main():
         jax.profiler.start_trace(profile_dir)
 
     n_runs = int(os.environ.get("BENCH_RUNS", "15"))
-    latencies, rtfs, tok_rates = [], [], []
+    latencies, rtfs, tok_rates, timings = [], [], [], []
     for i in range(n_runs):
         t0 = time.perf_counter()
         wav, latency, rtf = pipe.synthesize_streaming(src, ref, verbose=False)
@@ -121,9 +121,29 @@ def main():
         latencies.append(latency)
         rtfs.append(rtf)
         tok_rates.append(n_tokens / elapsed)
+        timings.append(dict(pipe.last_timing))
 
     if profile_dir:
         jax.profiler.stop_trace()
+
+    # batched streaming serving: B concurrent streams on one chip (aggregate
+    # RTF; decode is HBM-bound gemv work so per-stream cost falls with B)
+    batch_b = int(os.environ.get("BENCH_BATCH", "4"))
+    rtf_batch = None
+    if batch_b > 1:
+        try:
+            srcs = [src] * batch_b
+            refs = [ref] * batch_b
+            pipe.synthesize_streaming_batch(srcs, refs, verbose=False)  # compile
+            runs = []
+            for _ in range(3):
+                _, _, agg = pipe.synthesize_streaming_batch(srcs, refs,
+                                                            verbose=False)
+                runs.append(agg)
+            rtf_batch = float(np.median(runs))
+        except Exception as e:  # never let the serving extra kill the headline
+            print(f"batched-streaming bench skipped: {e}", file=sys.stderr)
+            rtf_batch = None
 
     # the dev tunnel occasionally hiccups for hundreds of ms; the median is
     # the robust central tendency (min/max/avg all reported alongside)
@@ -144,7 +164,14 @@ def main():
         "rtf_min": round(float(np.min(rtfs)), 4),
         "rtf_max": round(float(np.max(rtfs)), 4),
         "ar_tokens_per_sec": round(float(np.mean(tok_rates)), 1),
+        "rtf_batch_aggregate": (round(rtf_batch, 4)
+                                if rtf_batch is not None else None),
+        "batch_streams": batch_b if rtf_batch is not None else None,
         "warmup_s": round(warmup_s, 1),
+        # sub-phase breakdown of the worst-latency run (tail diagnostics):
+        # host_prep -> first_dispatch -> first_fetch, all ms since call start
+        "worst_run_timing": {k: round(v, 1) for k, v in
+                             timings[int(np.argmax(latencies))].items()},
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "device": str(jax.devices()[0]),
         "baseline": {"rtf": 0.28, "latency_ms": 95.2, "hardware": "H100"},

@@ -84,6 +84,7 @@ class GenVCPipeline:
         self._cond_chunk = COND_CHUNK_SECONDS * self.sample_rate
         self._prefix_width = self.gpt_cfg.n_cond_latents + TEXT_WIDTH + 2
         self._rng = jax.random.key(self.seed)
+        self.last_timing: dict = {}
         # benchmarking aid: with random (untrained) weights generation never
         # hits the stop token; cap new tokens at ratio × content codes to make
         # compute match a trained checkpoint (audio codes are ~1.875× content
@@ -135,6 +136,8 @@ class GenVCPipeline:
 
         @jax.jit
         def content_fn(cv_params, cd_params, wav16k, sample_valid):
+            if jnp.issubdtype(wav16k.dtype, jnp.integer):
+                wav16k = wav16k.astype(jnp.float32) / 32768.0
             feats = contentvec.extract_content_features(
                 cv_params, wav16k, sample_valid=sample_valid)
             feats = jnp.swapaxes(feats, 1, 2)  # (B, 256, T')
@@ -199,6 +202,10 @@ class GenVCPipeline:
         @jax.jit
         def segment_prefill_fn(cv_params, cd_params, gpt_params, hifi_params,
                                cond_latents, wav16k, sample_valid, rng):
+            if jnp.issubdtype(wav16k.dtype, jnp.integer):
+                # int16 PCM transfer (halves the per-segment host->device
+                # bytes; exact for PCM16-derived sources)
+                wav16k = wav16k.astype(jnp.float32) / 32768.0
             codes, n_codes = content_fn(cv_params, cd_params, wav16k,
                                         sample_valid)
             codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
@@ -359,13 +366,21 @@ class GenVCPipeline:
             embs.append(emb)
         return jnp.mean(jnp.stack(embs), axis=0)
 
+    @staticmethod
+    def _pcm16(x: np.ndarray) -> np.ndarray:
+        """Quantize to int16 PCM for the host->device transfer (exact for
+        PCM16-derived sources; halves bytes through slow links). Every source
+        driver quantizes identically so all code paths see the same signal."""
+        return np.clip(np.rint(np.asarray(x) * 32768.0),
+                       -32768, 32767).astype(np.int16)
+
     def extract_content_codes(self, seg16k: np.ndarray):
         """(1, t) 16 kHz segment (t <= 6 s) -> (codes (1, TEXT_WIDTH), n)."""
         t_real = seg16k.shape[-1]
         padded = np.pad(seg16k, ((0, 0), (0, self._seg_len_16k - t_real)))
         codes, n = self._content_fn(self.contentvec_params,
                                     self.content_dvae_params,
-                                    jnp.asarray(padded),
+                                    jnp.asarray(self._pcm16(padded)),
                                     jnp.asarray([t_real], jnp.int32))
         n = int(n[0])
         codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
@@ -390,7 +405,8 @@ class GenVCPipeline:
     def _start_segment(self, seg_padded: np.ndarray, t_real: int):
         return self._segment_prefill_fn(
             self.contentvec_params, self.content_dvae_params, self.gpt_params,
-            self.hifigan_params, self._cond_latent, jnp.asarray(seg_padded),
+            self.hifigan_params, self._cond_latent,
+            jnp.asarray(self._pcm16(seg_padded)),
             jnp.asarray([t_real], jnp.int32), self._next_rng())
 
     def generate_segment_codes(self, codes, n_codes: int):
@@ -481,7 +497,7 @@ class GenVCPipeline:
                     active.append(False)
                 rows.append(seg[0])
                 t_reals.append(t_real)
-            seg_batch = jnp.asarray(np.stack(rows))
+            seg_batch = jnp.asarray(self._pcm16(np.stack(rows)))
             sv = jnp.asarray(t_reals, jnp.int32)
             codes, n_codes_dev = self._content_fn(
                 self.contentvec_params, self.content_dvae_params, seg_batch, sv)
@@ -548,8 +564,26 @@ class GenVCPipeline:
 
         Double-buffered driver: chunk N+1 is dispatched before chunk N's audio
         is fetched, so the tunnel/dispatch round trip overlaps with decode.
+        Python GC is paused for the duration of the call (a collection pause
+        inside the first-chunk window is a latency-tail outlier); timings of
+        the first-chunk sub-phases land in ``self.last_timing``.
         """
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            return self._synthesize_streaming(src_wav, ref_audio,
+                                              stream_chunk_size, verbose)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    def _synthesize_streaming(self, src_wav, ref_audio,
+                              stream_chunk_size=STREAM_CHUNK,
+                              verbose=True):
         begin = time.perf_counter()
+        timing = self.last_timing = {}
         total = src_wav.shape[-1]
         stop = self.gpt_cfg.stop_audio_token
         csz = stream_chunk_size
@@ -571,6 +605,7 @@ class GenVCPipeline:
         empty_carry = jnp.zeros((1, 0, d), jnp.float32)
         depth = self.pipeline_depth
         ref_chunks, ref_frames, ref_valid = self._prep_ref_chunks(ref_audio)
+        timing["host_prep_ms"] = (time.perf_counter() - begin) * 1000
         self._cond_latent = None
 
         def prefetch(chunk):
@@ -595,8 +630,10 @@ class GenVCPipeline:
                     self.contentvec_params, self.content_dvae_params,
                     self.gpt_params, self.hifigan_params,
                     jnp.asarray(ref_chunks), jnp.asarray(ref_frames),
-                    jnp.asarray(ref_valid), jnp.asarray(seg),
+                    jnp.asarray(ref_valid), jnp.asarray(self._pcm16(seg)),
                     jnp.asarray([t_real], jnp.int32), self._next_rng())
+                timing["first_dispatch_ms"] = \
+                    (time.perf_counter() - begin) * 1000
                 self._cond_latent = cond
                 lat0 = clats[:, :1]
                 inflight = [prefetch((state, ctoks, clats, cpre_fin, cwav))]
@@ -638,6 +675,8 @@ class GenVCPipeline:
                         call_sz, empty_carry)))
                 toks_np, wavs_np, pre_fin_np = jax.device_get(
                     (toks, wavs, pre_fin))  # one sync
+                timing.setdefault("first_fetch_ms",
+                                  (time.perf_counter() - begin) * 1000)
                 toks_np = toks_np[0]
                 if first_chunk and bool(pre_fin_np[0, 0]):
                     # EOS at the very first (prefill-sampled) token: the
@@ -733,7 +772,8 @@ class GenVCPipeline:
                 t_reals.append(t_real)
             codes, _ = self._content_fn(
                 self.contentvec_params, self.content_dvae_params,
-                jnp.asarray(np.stack(rows)), jnp.asarray(t_reals, jnp.int32))
+                jnp.asarray(self._pcm16(np.stack(rows))),
+                jnp.asarray(t_reals, jnp.int32))
             codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
             n_codes = [self._host_n_codes(t) for t in t_reals]
             state, tok0, lat0 = self._prefill_fn(
@@ -831,7 +871,8 @@ class GenVCPipeline:
             out = self._first_audio_fn(
                 self.contentvec_params, self.content_dvae_params,
                 self.gpt_params, self.hifigan_params, jnp.asarray(chunks),
-                jnp.asarray(frames), jnp.asarray(valid), jnp.asarray(src),
+                jnp.asarray(frames), jnp.asarray(valid),
+                jnp.asarray(self._pcm16(src)),
                 jnp.asarray([self._seg_len_16k], jnp.int32), self._next_rng())
             cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
                                         state, STREAM_CHUNK - 1,
