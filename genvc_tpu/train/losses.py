@@ -9,12 +9,18 @@ from genvc_tpu.config import VocoderConfig
 from genvc_tpu.dsp import mel as mel_mod
 
 
+def _f32(x):
+    # discriminator stacks may run in bf16 (training-only); losses always
+    # accumulate in f32
+    return x.astype(jnp.float32)
+
+
 def feature_loss(fmap_r, fmap_g):
     """L1 feature matching ×2 (hifigan_loss.py:78-90)."""
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            loss = loss + jnp.mean(jnp.abs(_f32(rl) - _f32(gl)))
     return loss * 2.0
 
 
@@ -22,7 +28,8 @@ def discriminator_loss(real_logits, fake_logits):
     """LSGAN discriminator loss (hifigan_loss.py:92-108)."""
     loss = 0.0
     for dr, dg in zip(real_logits, fake_logits):
-        loss = loss + jnp.mean(jnp.square(1.0 - dr)) + jnp.mean(jnp.square(dg))
+        loss = loss + jnp.mean(jnp.square(1.0 - _f32(dr))) \
+            + jnp.mean(jnp.square(_f32(dg)))
     return loss
 
 
@@ -30,7 +37,7 @@ def generator_adv_loss(fake_logits):
     """LSGAN generator loss (hifigan_loss.py:110-123)."""
     loss = 0.0
     for dg in fake_logits:
-        loss = loss + jnp.mean(jnp.square(1.0 - dg))
+        loss = loss + jnp.mean(jnp.square(1.0 - _f32(dg)))
     return loss
 
 

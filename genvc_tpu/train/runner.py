@@ -300,7 +300,8 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None,
 
 def run_vocoder_training(cfg: GenVCConfig, max_steps: int | None = None,
                          max_eval_batches: int | None = None,
-                         families_per_program: int = 2):
+                         families_per_program: int = 2,
+                         bf16_discs: bool = False):
     mesh = _data_mesh(cfg.batch_size)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
@@ -390,7 +391,8 @@ def run_vocoder_training(cfg: GenVCConfig, max_steps: int | None = None,
     train_step, eval_step = vocoder_stage.make_split_steps(
         gcfg, cfg.vocoder_config, cqt_statics,
         gen_tx, disc_tx, scale_factor=scale,
-        families_per_program=families_per_program)
+        families_per_program=families_per_program,
+        disc_dtype=jnp.bfloat16 if bf16_discs else None)
     jit_train = lambda s, b: train_step(s, b, frozen, gpt_params)
     jit_eval = lambda s, b: eval_step(s, b, frozen, gpt_params)
 

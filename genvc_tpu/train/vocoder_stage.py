@@ -51,16 +51,24 @@ def init_discriminators(key, cfg: VocoderConfig):
     return params, cqt_statics
 
 
-def run_discriminators(disc_params, cqt_statics, cfg: VocoderConfig, y, y_hat):
-    """Returns dict name -> (logits_r, logits_g, fmap_r, fmap_g)."""
+def run_discriminators(disc_params, cqt_statics, cfg: VocoderConfig, y, y_hat,
+                       compute_dtype=None):
+    """Returns dict name -> (logits_r, logits_g, fmap_r, fmap_g).
+
+    ``compute_dtype`` (e.g. bf16) runs the discriminator conv stacks at that
+    dtype — a training-only speed knob with no inference parity surface (the
+    spectral front-ends stay f32; losses accumulate in f32)."""
     return {
-        "MSD_Discriminator": hifigan.msd_forward(disc_params["msd"], y, y_hat),
+        "MSD_Discriminator": hifigan.msd_forward(
+            disc_params["msd"], y, y_hat, compute_dtype=compute_dtype),
         "MPD_Discriminator": hifigan.mpd_forward(
-            disc_params["mpd"], y, y_hat, periods=tuple(cfg.mpd_reshapes)),
+            disc_params["mpd"], y, y_hat, periods=tuple(cfg.mpd_reshapes),
+            compute_dtype=compute_dtype),
         "MSTFT_Discriminator": hifigan.msstftd_forward(
-            disc_params["msstftd"], y, y_hat),
+            disc_params["msstftd"], y, y_hat, compute_dtype=compute_dtype),
         "MSCQT_Discriminator": hifigan.mssbcqtd_forward(
-            disc_params["mssbcqtd"], cqt_statics, y, y_hat),
+            disc_params["mssbcqtd"], cqt_statics, y, y_hat,
+            compute_dtype=compute_dtype),
     }
 
 
@@ -91,17 +99,21 @@ def prepare_vocoder_batch(frozen: FrozenModules, gpt_params,
 
 
 def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
-                    cqt_statics, gen_tx, disc_tx, scale_factor: int = 4):
+                    cqt_statics, gen_tx, disc_tx, scale_factor: int = 4,
+                    disc_dtype=None):
     """Returns (train_step, eval_step); FrozenModules and the frozen GPT
     params are explicit arguments (kept out of the closure so they are jit
-    arguments, not giant compile-time constants)."""
+    arguments, not giant compile-time constants). ``disc_dtype`` (e.g. bf16)
+    runs the discriminator conv stacks at that dtype (see
+    run_discriminators)."""
     def render(gen_params, latents):
         x = jnp.swapaxes(latents, 1, 2)
         x = linear_interp_x4(x, scale_factor)
         return hifigan.generator_forward(gen_params, x, voc_cfg)
 
     def disc_loss_fn(disc_params, y, y_hat):
-        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat)
+        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat,
+                                  compute_dtype=disc_dtype)
         total = 0.0
         per = {}
         for name, (lr, lg, _, _) in outs.items():
@@ -112,7 +124,8 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
 
     def gen_loss_fn(gen_params, disc_params, latents, y):
         y_hat = render(gen_params, latents)
-        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat)
+        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat,
+                                  compute_dtype=disc_dtype)
         total = 0.0
         per = {}
         for name, (lr, lg, fr, fg) in outs.items():
@@ -167,7 +180,8 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
 def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                      cqt_statics, gen_tx, disc_tx, scale_factor: int = 4,
                      per_family: bool = False,
-                     families_per_program: int | None = None):
+                     families_per_program: int | None = None,
+                     disc_dtype=None):
     """Split-program variant of the GAN step (the fused single-program
     make_train_step can exceed compile-memory limits: the frozen GPT + 4
     discriminator families fwd+bwd in one XLA program is a ~50 MB MLIR
@@ -194,14 +208,17 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
 
     def run_family(name, disc_family_params, y, y_hat):
         if name == "MSD_Discriminator":
-            return hifigan.msd_forward(disc_family_params, y, y_hat)
+            return hifigan.msd_forward(disc_family_params, y, y_hat,
+                                       compute_dtype=disc_dtype)
         if name == "MPD_Discriminator":
             return hifigan.mpd_forward(disc_family_params, y, y_hat,
-                                       periods=tuple(voc_cfg.mpd_reshapes))
+                                       periods=tuple(voc_cfg.mpd_reshapes),
+                                       compute_dtype=disc_dtype)
         if name == "MSTFT_Discriminator":
-            return hifigan.msstftd_forward(disc_family_params, y, y_hat)
+            return hifigan.msstftd_forward(disc_family_params, y, y_hat,
+                                           compute_dtype=disc_dtype)
         return hifigan.mssbcqtd_forward(disc_family_params, cqt_statics, y,
-                                        y_hat)
+                                        y_hat, compute_dtype=disc_dtype)
 
     @jax.jit
     def prepare_fn(batch, frozen, gpt_params):

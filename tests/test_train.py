@@ -214,3 +214,16 @@ def test_vocoder_split_steps_match_fused():
     gd = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                       sf.gen_params, ss.gen_params)
     assert jax.tree.reduce(max, gd) < 1e-5
+
+    # bf16 discriminator stacks (training-only speed knob): same step runs,
+    # losses finite and near the f32 values (front-ends + losses stay f32)
+    bf16_step, _ = vocoder_stage.make_split_steps(
+        gcfg, cfg.vocoder_config, cqt_statics, gen_tx, disc_tx,
+        disc_dtype=jnp.bfloat16)
+    sb, mb = bf16_step(fresh(), batch, frozen, gpt_params)
+    for k in ("loss_disc", "loss_gen", "mel_loss"):
+        assert np.isfinite(mb[k]), (k, mb[k])
+    assert mb["loss_disc"] == pytest.approx(float(ms["loss_disc"]), rel=0.05)
+    assert mb["loss_gen"] == pytest.approx(float(ms["loss_gen"]), rel=0.05)
+    # generator params moved and stayed f32
+    assert sb.gen_params["conv_pre"]["v"].dtype == jnp.float32

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--max_eval_batches", type=int, default=None)
     ap.add_argument("--smoke", action="store_true",
                     help="2-step end-to-end smoke on synthetic data")
+    ap.add_argument("--bf16_discs", action="store_true",
+                    help="run discriminator conv stacks in bfloat16 "
+                         "(~2x faster GAN step; spectral front-ends and all "
+                         "losses stay f32)")
     args = ap.parse_args()
 
     from genvc_tpu.config import (AudioConfig, GenVCConfig, GPTModelArgs,
@@ -80,10 +84,12 @@ def main():
 
         cfg.output_path = "exp/smoke_vocoder"
         smoke_overrides(cfg, "exp/smoke_assets_voc", need_gpt_ckpt=True)
-        run_vocoder_training(cfg, max_steps=2, max_eval_batches=1)
+        run_vocoder_training(cfg, max_steps=2, max_eval_batches=1,
+                             bf16_discs=args.bf16_discs)
         return
     run_vocoder_training(cfg, max_steps=args.max_steps,
-                         max_eval_batches=args.max_eval_batches)
+                         max_eval_batches=args.max_eval_batches,
+                         bf16_discs=args.bf16_discs)
 
 
 if __name__ == "__main__":
