@@ -108,7 +108,9 @@ def main():
     t0 = time.perf_counter()
     for bi in batches:
         state, metrics = jit_step(state, bi)
-    jax.block_until_ready(metrics["loss"])
+    # hard sync: through remote-device tunnels block_until_ready can return
+    # before compute completes; a device_get cannot
+    jax.device_get(metrics["loss"])
     step_ms = (time.perf_counter() - t0) / n * 1000
 
     tokens_per_step = batch * text_len * (1 + 1.875)  # text + audio tokens
