@@ -42,6 +42,11 @@ def main():
     use_bf16 = os.environ.get("TRAIN_DTYPE", "bf16") == "bf16"
     use_remat = os.environ.get("TRAIN_REMAT", "0") == "1"
     peak_tflops = float(os.environ.get("TPU_PEAK_TFLOPS", "197"))
+    # TRAIN_ATTN=flash|xla — A/B the Pallas flash-attention kernel vs the XLA
+    # dense-bias attention path inside the identical train step (default xla:
+    # measured faster end-to-end at GenVC training shapes, see
+    # gpt.core_forward)
+    attn = os.environ.get("TRAIN_ATTN", "xla")
 
     cfg = GenVCConfig()
     for c, ch, nt in ((cfg.acoustic_dvae_config, 80, 1024),
@@ -67,7 +72,7 @@ def main():
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
     train_step, _ = gpt_stage.make_train_step(
         gcfg, tx, compute_dtype=jnp.bfloat16 if use_bf16 else None,
-        remat=use_remat)
+        remat=use_remat, attn_impl=attn)
     _jit = jax.jit(train_step, donate_argnums=(0,))
     jit_step = lambda s, b: _jit(s, b, frozen)
 
@@ -129,6 +134,7 @@ def main():
         "text_len": text_len,
         "layers": layers,
         "dtype": "bf16" if use_bf16 else "f32",
+        "attention": attn,
         "loss": round(float(metrics["loss"]), 3),
         "tokens_per_sec": round(tokens_per_step / (step_ms / 1000), 0),
         "compile_s": round(compile_s, 1),

@@ -109,23 +109,33 @@ def _block_forward(bp, h, bias, heads):
 USE_FLASH_ATTENTION = "auto"  # "auto" = pallas kernel on TPU, jax path elsewhere
 
 
-def _flash_enabled() -> bool:
-    if USE_FLASH_ATTENTION == "auto":
+def _flash_enabled(attn_impl: str | None = None) -> bool:
+    impl = USE_FLASH_ATTENTION if attn_impl in (None, "auto") else attn_impl
+    if impl == "auto":
         return jax.default_backend() == "tpu"
-    return bool(USE_FLASH_ATTENTION)
+    if impl in ("flash", "xla"):
+        return impl == "flash"
+    return bool(impl)
 
 
 def core_forward(core, h: jnp.ndarray, cfg: GPTConfig,
                  key_valid: jnp.ndarray | None = None,
-                 remat: bool = True) -> jnp.ndarray:
+                 remat: bool = True, attn_impl: str | None = None
+                 ) -> jnp.ndarray:
     """Full-sequence causal forward. h: (B, T, D); key_valid: (B, T) bool.
 
     ``remat=True`` checkpoints each block: backward recomputes activations
     layer by layer, trading FLOPs for HBM (free on forward-only paths since
     XLA drops the unused recompute).
+
+    ``attn_impl``: "flash" (Pallas kernel), "xla" (dense-bias path), or
+    None/"auto" (the USE_FLASH_ATTENTION global: kernel on TPU). Measured on
+    v5e: the kernel wins standalone at every T, but inside the remat+scan
+    *training* step the dense path is ~7% faster end-to-end (the custom call
+    constrains layout/fusion), so the GPT training stage passes "xla".
     """
     t = h.shape[1]
-    if _flash_enabled():
+    if _flash_enabled(attn_impl):
         from genvc_tpu.ops.flash_attention import flash_attention
 
         kv = key_valid if key_valid is not None else jnp.ones(
@@ -228,6 +238,7 @@ def forward_train(
     fix_condition_embeddings: bool = False,
     train: bool = True,
     remat: bool = True,
+    attn_impl: str | None = None,
 ):
     """Teacher-forced forward (reference: gpt.py:375-537).
 
@@ -286,7 +297,7 @@ def forward_train(
             [jnp.ones((b, n_cond), bool), text_valid, mel_valid], axis=1)
 
     h = core_forward(params["core"], emb, cfg, key_valid=key_valid,
-                     remat=remat)
+                     remat=remat, attn_impl=attn_impl)
     enc = nn.layer_norm(params["final_norm"], h[:, n_cond:])
 
     if return_latent:

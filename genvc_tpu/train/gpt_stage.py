@@ -143,13 +143,18 @@ def prepare_features(frozen: FrozenModules, batch: dict) -> dict:
 
 def loss_fn(params, gcfg: gpt_model.GPTConfig, feats: dict,
             text_ce_weight: float, mel_ce_weight: float,
-            fix_condition_embeddings: bool = True, remat: bool = True):
+            fix_condition_embeddings: bool = True, remat: bool = True,
+            attn_impl: str | None = "xla"):
+    # attn_impl="xla": the dense-bias attention beats the Pallas kernel
+    # inside the remat+scan training step at GenVC sequence lengths
+    # (measured ~7% on v5e, see gpt.core_forward docstring)
     loss_text, loss_mel, top10, _ = gpt_model.forward_train(
         params, gcfg,
         feats["text_inputs"], feats["text_lengths"],
         feats["audio_codes"], feats["wav_lengths"],
         cond_mels=feats["cond_mels"], cond_lens=feats["cond_lens"],
-        fix_condition_embeddings=fix_condition_embeddings, remat=remat)
+        fix_condition_embeddings=fix_condition_embeddings, remat=remat,
+        attn_impl=attn_impl)
     loss = text_ce_weight * loss_text + mel_ce_weight * loss_mel
     return loss, {"loss": loss, "loss_text_ce": loss_text,
                   "loss_mel_ce": loss_mel, "top10acc": top10}
@@ -159,7 +164,8 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
                     tx: optax.GradientTransformation,
                     text_ce_weight: float = 0.01, mel_ce_weight: float = 1.0,
                     fix_condition_embeddings: bool = True,
-                    compute_dtype=None, remat: bool = False):
+                    compute_dtype=None, remat: bool = False,
+                    attn_impl: str | None = "xla"):
     """Returns (train_step, eval_step); both take the FrozenModules pytree as
     an explicit argument (see FrozenModules docstring).
 
@@ -187,7 +193,8 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
             feats = dict(feats,
                          cond_mels=feats["cond_mels"].astype(compute_dtype))
         return loss_fn(_cast(params), gcfg, feats, text_ce_weight,
-                       mel_ce_weight, fix_condition_embeddings, remat=remat)
+                       mel_ce_weight, fix_condition_embeddings, remat=remat,
+                       attn_impl=attn_impl)
 
     def train_step(state: GPTTrainState, batch: dict, frozen: FrozenModules):
         feats = jax.lax.stop_gradient(prepare_features(frozen, batch))
