@@ -22,6 +22,16 @@ def main():
     parser.add_argument("--src_wav", type=str, default="samples/EF4_ENG_0112_1.wav")
     parser.add_argument("--ref_audio", type=str, default="samples/EM1_ENG_0037_1.wav")
     parser.add_argument("--output_path", type=str, default="samples/converted.wav")
+    parser.add_argument("--src_wavs", type=str, nargs="+", default=None,
+                        help="batch serving mode (no reference analogue): "
+                             "convert N sources in one batched pass; pair "
+                             "with --ref_audios and --output_paths")
+    parser.add_argument("--ref_audios", type=str, nargs="+", default=None,
+                        help="per-source reference audio for --src_wavs "
+                             "(a single path is broadcast)")
+    parser.add_argument("--output_paths", type=str, nargs="+", default=None,
+                        help="per-source output paths for --src_wavs "
+                             "(default: <output_path stem>_<i>.wav)")
     parser.add_argument("--top_k", type=int, default=15)
     parser.add_argument("--streaming", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
@@ -58,6 +68,36 @@ def main():
         top_p=pipe.sampler.top_p,
         repetition_penalty=pipe.sampler.repetition_penalty)
     pipe._build_jits()
+
+    if args.src_wavs:
+        refs_paths = args.ref_audios or [args.ref_audio]
+        if len(refs_paths) == 1:
+            refs_paths = refs_paths * len(args.src_wavs)
+        if len(refs_paths) != len(args.src_wavs):
+            print("--ref_audios must match --src_wavs (or be a single path)",
+                  file=sys.stderr)
+            sys.exit(1)
+        srcs = [load_audio(p, pipe.content_sample_rate) for p in args.src_wavs]
+        refs = [load_audio(p, pipe.sample_rate) for p in refs_paths]
+        if any(s is None for s in srcs) or any(r is None for r in refs):
+            print("failed to load audio", file=sys.stderr)
+            sys.exit(1)
+        if args.streaming:
+            pipe.warmup(streaming=True)
+            wavs, _, _ = pipe.synthesize_streaming_batch(srcs, refs)
+        else:
+            wavs = pipe.synthesize_batch(srcs, refs)
+        outs = args.output_paths
+        if not outs:
+            stem, ext = os.path.splitext(args.output_path)
+            outs = [f"{stem}_{i}{ext or '.wav'}" for i in range(len(wavs))]
+        if len(outs) != len(wavs):
+            print("--output_paths must match --src_wavs", file=sys.stderr)
+            sys.exit(1)
+        for path, wav in zip(outs, wavs):
+            write_wav(path, wav, pipe.sample_rate)
+            print(f"wrote {path}")
+        return
 
     src_wav = load_audio(args.src_wav, pipe.content_sample_rate)
     ref_audio = load_audio(args.ref_audio, pipe.sample_rate)

@@ -195,8 +195,11 @@ def test_synthesize_streaming_batch_matches_single(pipe):
     pipe.gen_cap_tokens_per_code = 1.0
     try:
         rng = np.random.default_rng(17)
+        # row 1 spans two 6 s segments while row 0 has one: exercises the
+        # multi-segment lockstep rounds with a masked inactive row (same
+        # static shapes as the single-segment case -> no extra compiles)
         srcs = [(rng.standard_normal((1, 16000)) * 0.1).astype(np.float32),
-                (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)]
+                (rng.standard_normal((1, 112000)) * 0.1).astype(np.float32)]
         refs = [(rng.standard_normal((1, 24000)) * 0.1).astype(np.float32),
                 (rng.standard_normal((1, 30000)) * 0.1).astype(np.float32)]
         outs, lats, agg_rtf = pipe.synthesize_streaming_batch(
