@@ -143,10 +143,87 @@ def generator_forward(params, x: jnp.ndarray, cfg: VocoderConfig,
 
 # ---------------------------------------------------------------------------
 # Discriminators (training). Each returns (logits_list, fmap_list) per input.
+#
+# Norm parametrization mirrors the reference (layers/hifigan.py:248-252,
+# 286-288, 321): every MSD/MPD conv is torch ``weight_norm`` (g, v) except the
+# first MSD scale, whose convs are all ``spectral_norm``
+# (``DiscriminatorS(use_spectral_norm=True)``); MPD honors
+# ``mpd_use_spectral_norm``. These discriminators train from scratch, so the
+# reparametrized gradient geometry is load-bearing for the GAN recipe.
+
+
+def _l2n(x, eps=1e-12):
+    return x / jnp.maximum(jnp.sqrt(jnp.sum(x * x)), eps)
+
+
+def to_spectral_norm(p, key):
+    """Split a folded conv weight into torch ``spectral_norm`` params:
+    trainable ``w_orig`` plus persistent power-iteration buffers ``u``
+    (dim-0 size) and ``pv`` (flattened remaining dims), init'd like torch
+    (normalized gaussians)."""
+    w = p["w"]
+    ku, kv = jax.random.split(key)
+    out = {
+        "w_orig": w,
+        "u": _l2n(jax.random.normal(ku, (w.shape[0],), jnp.float32)),
+        "pv": _l2n(jax.random.normal(
+            kv, (int(np.prod(w.shape[1:])),), jnp.float32)),
+    }
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def sn_apply(p, update=False):
+    """Resolve a conv param dict to effective-weight form.
+
+    For a spectral-normed dict ({"w_orig","u","pv"[,"b"]}): when ``update``,
+    run ONE power-iteration step (torch train-mode forward semantics —
+    v = normalize(Wᵀu), u = normalize(Wv), each call); then
+    sigma = u·(W·v) with u, v as constants, W_eff = w_orig / sigma (gradient
+    flows through w_orig only, matching torch's clone()d buffers). When not
+    updating (eval), sigma uses the stored vectors. For weight-norm / plain
+    dicts this is a no-op (ops/conv handles (g, v) inline).
+
+    Returns (effective_conv_dict, params_with_new_buffers)."""
+    if "w_orig" not in p:
+        return p, p
+    w = p["w_orig"]
+    m = w.reshape(w.shape[0], -1)
+    u, v = p["u"], p["pv"]
+    if update:
+        v = _l2n(m.T @ u)
+        u = _l2n(m @ v)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (m @ v)
+    eff = {"w": w / sigma}
+    if "b" in p:
+        eff["b"] = p["b"]
+    new_p = dict(p)
+    new_p["u"], new_p["pv"] = u, v
+    return eff, new_p
+
+
+def merge_sn_buffers(dst, src):
+    """Return ``dst`` with every spectral-norm (u, pv) buffer replaced by the
+    corresponding buffer in ``src`` (same tree structure). Used after an
+    optimizer update to carry forward the power-iteration state computed in
+    the loss forward — buffers are NOT optimizer-updated (their grads are
+    zero, but AdamW weight decay would otherwise corrupt them)."""
+    if isinstance(dst, dict):
+        if "w_orig" in dst:
+            out = dict(dst)
+            out["u"], out["pv"] = src["u"], src["pv"]
+            return out
+        return {k: merge_sn_buffers(dst[k], src[k]) for k in dst}
+    if isinstance(dst, (list, tuple)):
+        return type(dst)(merge_sn_buffers(a, b) for a, b in zip(dst, src))
+    return dst
 
 
 def init_discriminator_s(key, use_spectral_norm=False):
-    ks = iter(jax.random.split(key, 16))
+    ks = iter(jax.random.split(key, 32))
     specs = [  # (out, in, k, stride, groups, pad)
         (128, 1, 15, 1, 1, 7),
         (128, 128, 41, 2, 4, 20),
@@ -158,25 +235,34 @@ def init_discriminator_s(key, use_spectral_norm=False):
     ]
     convs = [init_conv1d(next(ks), o, i, k, groups=g)
              for (o, i, k, s, g, p) in specs]
-    return {
-        "convs": convs,
-        "conv_post": init_conv1d(next(ks), 1, 1024, 3),
-    }
+    post = init_conv1d(next(ks), 1, 1024, 3)
+    if use_spectral_norm:
+        convs = [to_spectral_norm(c, next(ks)) for c in convs]
+        post = to_spectral_norm(post, next(ks))
+    else:
+        convs = [to_weight_norm(c) for c in convs]
+        post = to_weight_norm(post)
+    return {"convs": convs, "conv_post": post}
 
 
 _DS_SPECS = [(1, 1, 7), (2, 4, 20), (2, 16, 20), (4, 16, 20), (4, 16, 20),
              (1, 16, 20), (1, 1, 2)]
 
 
-def discriminator_s_forward(p, x):
+def discriminator_s_forward(p, x, sn_update=False):
     fmap = []
+    new_convs = []
     for conv, (s, g, pad) in zip(p["convs"], _DS_SPECS):
-        x = conv1d(conv, x, stride=s, padding=pad, groups=g)
+        eff, nc = sn_apply(conv, sn_update)
+        new_convs.append(nc)
+        x = conv1d(eff, x, stride=s, padding=pad, groups=g)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-    x = conv1d(p["conv_post"], x, padding=1)
+    eff, npost = sn_apply(p["conv_post"], sn_update)
+    x = conv1d(eff, x, padding=1)
     fmap.append(x)
-    return x.reshape(x.shape[0], -1), fmap
+    return (x.reshape(x.shape[0], -1), fmap,
+            {"convs": new_convs, "conv_post": npost})
 
 
 def avg_pool1d(x, kernel=4, stride=2, padding=2):
@@ -188,33 +274,45 @@ def avg_pool1d(x, kernel=4, stride=2, padding=2):
 
 
 def init_msd(key):
+    # first scale spectral-normed like the reference
+    # (MultiScaleDiscriminator, hifigan.py:286-288)
     k1, k2, k3 = jax.random.split(key, 3)
-    return {"discs": [init_discriminator_s(k1), init_discriminator_s(k2),
-                      init_discriminator_s(k3)]}
+    return {"discs": [init_discriminator_s(k1, use_spectral_norm=True),
+                      init_discriminator_s(k2), init_discriminator_s(k3)]}
 
 
-def msd_forward(p, y, y_hat, compute_dtype=None):
+def msd_forward(p, y, y_hat, compute_dtype=None, sn_update=False):
     """``compute_dtype`` (e.g. bf16) runs the conv stacks at that dtype —
     discriminators are training-only with no inference parity surface, and
     the reference's own CUDA training runs TF32 convs; losses still
-    accumulate in f32 (train/losses.py casts)."""
+    accumulate in f32 (train/losses.py casts).
+
+    ``sn_update=True`` (training forwards) advances the spectral-norm power
+    iteration once per sub-forward — sequentially over (y, y_hat) like torch's
+    per-forward buffer updates — and returns a fifth element: the params tree
+    with new (u, pv) buffers (feed to ``merge_sn_buffers`` after the
+    optimizer step)."""
     if compute_dtype is not None:
         y = y.astype(compute_dtype)
         y_hat = y_hat.astype(compute_dtype)
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
+    new_discs = []
     for i, d in enumerate(p["discs"]):
         if i != 0:
             y = avg_pool1d(y)
             y_hat = avg_pool1d(y_hat)
-        lr, fr = discriminator_s_forward(d, y)
-        lg, fg = discriminator_s_forward(d, y_hat)
+        lr, fr, d1 = discriminator_s_forward(d, y, sn_update)
+        lg, fg, d2 = discriminator_s_forward(d1, y_hat, sn_update)
+        new_discs.append(d2)
         logits_r.append(lr); fmap_r.append(fr)
         logits_g.append(lg); fmap_g.append(fg)
+    if sn_update:
+        return logits_r, logits_g, fmap_r, fmap_g, {"discs": new_discs}
     return logits_r, logits_g, fmap_r, fmap_g
 
 
-def init_discriminator_p(key, d_mult=1):
-    ks = iter(jax.random.split(key, 8))
+def init_discriminator_p(key, d_mult=1, use_spectral_norm=False):
+    ks = iter(jax.random.split(key, 16))
     chans = [(int(32 * d_mult), 1), (int(128 * d_mult), int(32 * d_mult)),
              (int(512 * d_mult), int(128 * d_mult)),
              (int(1024 * d_mult), int(512 * d_mult)),
@@ -228,11 +326,19 @@ def init_discriminator_p(key, d_mult=1):
         return {"w": jax.random.uniform(kw_, (o, i, kh, kw), jnp.float32, -lim, lim),
                 "b": jax.random.uniform(kb_, (o,), jnp.float32, -lim, lim)}
 
-    return {"convs": [c2(o, i, 5) for (o, i) in chans],
-            "conv_post": c2(1, int(1024 * d_mult), 3)}
+    convs = [c2(o, i, 5) for (o, i) in chans]
+    post = c2(1, int(1024 * d_mult), 3)
+    # norm_f = weight_norm unless mpd_use_spectral_norm (hifigan.py:321)
+    if use_spectral_norm:
+        convs = [to_spectral_norm(c, next(ks)) for c in convs]
+        post = to_spectral_norm(post, next(ks))
+    else:
+        convs = [to_weight_norm(c) for c in convs]
+        post = to_weight_norm(post)
+    return {"convs": convs, "conv_post": post}
 
 
-def discriminator_p_forward(p, x, period: int):
+def discriminator_p_forward(p, x, period: int, sn_update=False):
     b, c, t = x.shape
     if t % period != 0:
         n_pad = period - (t % period)
@@ -240,35 +346,46 @@ def discriminator_p_forward(p, x, period: int):
         t = t + n_pad
     x = x.reshape(b, c, t // period, period)
     fmap = []
+    new_convs = []
     for i, conv in enumerate(p["convs"]):
         stride = (3, 1) if i < 4 else (1, 1)
         pad = (2, 0)
-        x = conv2d(conv, x, stride=stride, padding=pad)
+        eff, nc = sn_apply(conv, sn_update)
+        new_convs.append(nc)
+        x = conv2d(eff, x, stride=stride, padding=pad)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-    x = conv2d(p["conv_post"], x, padding=(1, 0))
+    eff, npost = sn_apply(p["conv_post"], sn_update)
+    x = conv2d(eff, x, padding=(1, 0))
     fmap.append(x)
-    return x.reshape(x.shape[0], -1), fmap
+    return (x.reshape(x.shape[0], -1), fmap,
+            {"convs": new_convs, "conv_post": npost})
 
 
-def init_mpd(key, periods=(2, 3, 5, 7, 11), d_mult=1):
+def init_mpd(key, periods=(2, 3, 5, 7, 11), d_mult=1, use_spectral_norm=False):
     keys = jax.random.split(key, len(periods))
-    return {"discs": [init_discriminator_p(k, d_mult) for k in keys]}
+    return {"discs": [init_discriminator_p(k, d_mult, use_spectral_norm)
+                      for k in keys]}
 
 
 MPD_PERIODS = (2, 3, 5, 7, 11)
 
 
-def mpd_forward(p, y, y_hat, periods=MPD_PERIODS, compute_dtype=None):
+def mpd_forward(p, y, y_hat, periods=MPD_PERIODS, compute_dtype=None,
+                sn_update=False):
     if compute_dtype is not None:
         y = y.astype(compute_dtype)
         y_hat = y_hat.astype(compute_dtype)
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
+    new_discs = []
     for d, period in zip(p["discs"], periods):
-        lr, fr = discriminator_p_forward(d, y, period)
-        lg, fg = discriminator_p_forward(d, y_hat, period)
+        lr, fr, d1 = discriminator_p_forward(d, y, period, sn_update)
+        lg, fg, d2 = discriminator_p_forward(d1, y_hat, period, sn_update)
+        new_discs.append(d2)
         logits_r.append(lr); fmap_r.append(fr)
         logits_g.append(lg); fmap_g.append(fg)
+    if sn_update:
+        return logits_r, logits_g, fmap_r, fmap_g, {"discs": new_discs}
     return logits_r, logits_g, fmap_r, fmap_g
 
 
@@ -423,9 +540,12 @@ def _cqt_conv_pres(pres_params, z, n_oct, bins, kernel):
     w = jnp.stack([pp["w"] for pp in pres_params])                # (O, 2, 2, kh, kw)
     w = w.reshape(n_oct, 2, -1).astype(z.dtype)                   # (O, out, C*kh*kw)
     bias = jnp.stack([pp["b"] for pp in pres_params]).astype(z.dtype)  # (O, 2)
+    # accumulate in f32 even under bf16 discriminators (consistent with the
+    # XLA convs in the rest of the stack); inputs staying bf16 keeps the MXU
+    # speed win
     out = jnp.einsum("botwk,oek->beotw", patches, w,
                      precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=z.dtype)
+                     preferred_element_type=jnp.float32).astype(z.dtype)
     out = out + bias.T[None, :, :, None, None]   # (B, 2, O, T, bins)
     return out.transpose(0, 1, 3, 2, 4).reshape(b, 2, t, n_oct * bins)
 

@@ -70,3 +70,12 @@ def adamw_grouped(lr_schedule, betas=(0.9, 0.96), eps=1e-8,
 
 def adam_simple(lr: float, betas=(0.9, 0.997)):
     return optax.adam(lr, b1=betas[0], b2=betas[1])
+
+
+def vocoder_adamw(lr_schedule, betas=(0.8, 0.99)):
+    """The vocoder-stage optimizer for BOTH the discriminator and generator:
+    the reference builds ``AdamW(params, lr, betas)`` with no weight_decay or
+    eps argument (trainers/hifigan_trainer.py:559-569), so torch defaults
+    apply — decoupled weight decay 0.01 on every parameter, eps 1e-8."""
+    return optax.adamw(lr_schedule, b1=betas[0], b2=betas[1], eps=1e-8,
+                       weight_decay=0.01)

@@ -374,9 +374,7 @@ def run_vocoder_training(cfg: GenVCConfig, max_steps: int | None = None,
                                              max(len(train_loader), 1))
 
     def make_tx():
-        return optax.adamw(sched, b1=op["betas"][0], b2=op["betas"][1],
-                           eps=op.get("eps", 1e-8),
-                           weight_decay=0.0)  # reference AdamW without wd arg
+        return optim.vocoder_adamw(sched, betas=tuple(op["betas"]))
 
     gen_tx, disc_tx = make_tx(), make_tx()
     state = vocoder_stage.VocoderTrainState(

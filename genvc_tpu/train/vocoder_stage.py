@@ -44,32 +44,48 @@ def init_discriminators(key, cfg: VocoderConfig):
     params = {
         "msd": hifigan.init_msd(k1),
         "mpd": hifigan.init_mpd(k2, periods=tuple(cfg.mpd_reshapes),
-                                d_mult=cfg.mpd_discriminator_channel_mult_factor),
+                                d_mult=cfg.mpd_discriminator_channel_mult_factor,
+                                use_spectral_norm=cfg.mpd_use_spectral_norm),
         "msstftd": hifigan.init_msstftd(k3, filters=cfg.msstftd_filters),
         "mssbcqtd": mssbcqtd_params,
     }
     return params, cqt_statics
 
 
+_FAM_KEY = {"MSD_Discriminator": "msd", "MPD_Discriminator": "mpd",
+            "MSTFT_Discriminator": "msstftd",
+            "MSCQT_Discriminator": "mssbcqtd"}
+
+
 def run_discriminators(disc_params, cqt_statics, cfg: VocoderConfig, y, y_hat,
-                       compute_dtype=None):
-    """Returns dict name -> (logits_r, logits_g, fmap_r, fmap_g).
+                       compute_dtype=None, sn_update=False):
+    """Returns dict name -> (logits_r, logits_g, fmap_r, fmap_g); with
+    ``sn_update=True`` returns (dict, new_disc_params) where the spectral-norm
+    power-iteration buffers in MSD (and MPD when spectral) have advanced one
+    step per sub-forward, like torch's train-mode forwards.
 
     ``compute_dtype`` (e.g. bf16) runs the discriminator conv stacks at that
     dtype — a training-only speed knob with no inference parity surface (the
     spectral front-ends stay f32; losses accumulate in f32)."""
-    return {
-        "MSD_Discriminator": hifigan.msd_forward(
-            disc_params["msd"], y, y_hat, compute_dtype=compute_dtype),
-        "MPD_Discriminator": hifigan.mpd_forward(
-            disc_params["mpd"], y, y_hat, periods=tuple(cfg.mpd_reshapes),
-            compute_dtype=compute_dtype),
-        "MSTFT_Discriminator": hifigan.msstftd_forward(
-            disc_params["msstftd"], y, y_hat, compute_dtype=compute_dtype),
-        "MSCQT_Discriminator": hifigan.mssbcqtd_forward(
-            disc_params["mssbcqtd"], cqt_statics, y, y_hat,
-            compute_dtype=compute_dtype),
-    }
+    msd = hifigan.msd_forward(disc_params["msd"], y, y_hat,
+                              compute_dtype=compute_dtype,
+                              sn_update=sn_update)
+    mpd = hifigan.mpd_forward(disc_params["mpd"], y, y_hat,
+                              periods=tuple(cfg.mpd_reshapes),
+                              compute_dtype=compute_dtype,
+                              sn_update=sn_update)
+    stft = hifigan.msstftd_forward(disc_params["msstftd"], y, y_hat,
+                                   compute_dtype=compute_dtype)
+    cqt = hifigan.mssbcqtd_forward(disc_params["mssbcqtd"], cqt_statics, y,
+                                   y_hat, compute_dtype=compute_dtype)
+    if not sn_update:
+        return {"MSD_Discriminator": msd, "MPD_Discriminator": mpd,
+                "MSTFT_Discriminator": stft, "MSCQT_Discriminator": cqt}
+    outs = {"MSD_Discriminator": msd[:4], "MPD_Discriminator": mpd[:4],
+            "MSTFT_Discriminator": stft, "MSCQT_Discriminator": cqt}
+    new_params = dict(disc_params)
+    new_params["msd"], new_params["mpd"] = msd[4], mpd[4]
+    return outs, new_params
 
 
 def prepare_vocoder_batch(frozen: FrozenModules, gpt_params,
@@ -112,20 +128,22 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         return hifigan.generator_forward(gen_params, x, voc_cfg)
 
     def disc_loss_fn(disc_params, y, y_hat):
-        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat,
-                                  compute_dtype=disc_dtype)
+        outs, new_disc = run_discriminators(
+            disc_params, cqt_statics, voc_cfg, y, y_hat,
+            compute_dtype=disc_dtype, sn_update=True)
         total = 0.0
         per = {}
         for name, (lr, lg, _, _) in outs.items():
             l = losses.discriminator_loss(lr, lg)
             per[f"{name}_loss"] = l
             total = total + l
-        return total, per
+        return total, (per, new_disc)
 
     def gen_loss_fn(gen_params, disc_params, latents, y):
         y_hat = render(gen_params, latents)
-        outs = run_discriminators(disc_params, cqt_statics, voc_cfg, y, y_hat,
-                                  compute_dtype=disc_dtype)
+        outs, new_disc = run_discriminators(
+            disc_params, cqt_statics, voc_cfg, y, y_hat,
+            compute_dtype=disc_dtype, sn_update=True)
         total = 0.0
         per = {}
         for name, (lr, lg, fr, fg) in outs.items():
@@ -137,7 +155,7 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         ml = losses.mel_loss(y[:, 0, :], y_hat[:, 0, :], voc_cfg)
         per["mel"] = ml
         total = total + ml
-        return total, (per, y_hat)
+        return total, (per, y_hat, new_disc)
 
     def train_step(state: VocoderTrainState, batch: dict,
                    frozen: FrozenModules, gpt_params):
@@ -146,20 +164,25 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
 
         # 1) discriminator step on detached prediction
         y_hat_detached = jax.lax.stop_gradient(render(state.gen_params, latents))
-        (d_loss, d_per), d_grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
-            state.disc_params, wav_gt, y_hat_detached)
+        (d_loss, (d_per, d_sn)), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc_params, wav_gt,
+                                        y_hat_detached)
         d_updates, disc_opt = disc_tx.update(d_grads, state.disc_opt,
                                              state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, d_updates)
+        # carry forward the power-iteration buffers advanced in the forward
+        # (their grads are zero; the optimizer pass above must not touch them)
+        disc_params = hifigan.merge_sn_buffers(disc_params, d_sn)
 
         # 2) generator step against the *updated* discriminator (the reference
         # steps the discriminator first, then re-runs it for the generator)
-        (g_loss, (g_per, _)), g_grads = jax.value_and_grad(
+        (g_loss, (g_per, _, g_sn)), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params, disc_params, latents,
                                        wav_gt)
         g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt,
                                            state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
+        disc_params = hifigan.merge_sn_buffers(disc_params, g_sn)
 
         metrics = {"loss_disc": d_loss, "loss_gen": g_loss,
                    "mel_loss": g_per["mel"]}
@@ -170,7 +193,11 @@ def make_train_step(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                   frozen: FrozenModules, gpt_params):
         latents, wav_gt = prepare_vocoder_batch(frozen, gpt_params, gcfg, batch)
         y_hat = render(state.gen_params, latents)
-        d_loss, _ = disc_loss_fn(state.disc_params, wav_gt, y_hat)
+        # eval forwards keep the stored power-iteration buffers (torch eval)
+        outs = run_discriminators(state.disc_params, cqt_statics, voc_cfg,
+                                  wav_gt, y_hat, compute_dtype=disc_dtype)
+        d_loss = sum(losses.discriminator_loss(lr, lg)
+                     for (lr, lg, _, _) in outs.values())
         ml = losses.mel_loss(wav_gt[:, 0, :], y_hat[:, 0, :], voc_cfg)
         return {"loss_disc": d_loss, "mel_loss": ml}
 
@@ -206,19 +233,27 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
     chunks = [families[i : i + fpp] for i in range(0, len(families), fpp)]
     fuse_updates = len(chunks) == 1
 
-    def run_family(name, disc_family_params, y, y_hat):
+    def run_family(name, disc_family_params, y, y_hat, sn_update=False):
+        """Always returns (lr, lg, fr, fg, new_family_params); families with
+        no spectral-norm convs (STFT/CQT) return their params unchanged."""
         if name == "MSD_Discriminator":
-            return hifigan.msd_forward(disc_family_params, y, y_hat,
-                                       compute_dtype=disc_dtype)
+            out = hifigan.msd_forward(disc_family_params, y, y_hat,
+                                      compute_dtype=disc_dtype,
+                                      sn_update=sn_update)
+            return out if sn_update else (*out, disc_family_params)
         if name == "MPD_Discriminator":
-            return hifigan.mpd_forward(disc_family_params, y, y_hat,
-                                       periods=tuple(voc_cfg.mpd_reshapes),
-                                       compute_dtype=disc_dtype)
+            out = hifigan.mpd_forward(disc_family_params, y, y_hat,
+                                      periods=tuple(voc_cfg.mpd_reshapes),
+                                      compute_dtype=disc_dtype,
+                                      sn_update=sn_update)
+            return out if sn_update else (*out, disc_family_params)
         if name == "MSTFT_Discriminator":
-            return hifigan.msstftd_forward(disc_family_params, y, y_hat,
-                                           compute_dtype=disc_dtype)
-        return hifigan.mssbcqtd_forward(disc_family_params, cqt_statics, y,
-                                        y_hat, compute_dtype=disc_dtype)
+            out = hifigan.msstftd_forward(disc_family_params, y, y_hat,
+                                          compute_dtype=disc_dtype)
+        else:
+            out = hifigan.mssbcqtd_forward(disc_family_params, cqt_statics, y,
+                                           y_hat, compute_dtype=disc_dtype)
+        return (*out, disc_family_params)
 
     @jax.jit
     def prepare_fn(batch, frozen, gpt_params):
@@ -233,33 +268,42 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
     # ---- discriminator phase --------------------------------------------
     # chunk program: summed loss + grads for its families' param subtree
 
-    def _disc_loss_chunk(chunk):
+    def _disc_loss_chunk(chunk, sn_update=True):
         def f(sub_params, y, y_hat):
             total = 0.0
+            new_sub = {}
             for name in chunk:
-                lr, lg, _, _ = run_family(name, sub_params[fam_key[name]],
-                                          y, y_hat)
+                lr, lg, _, _, newp = run_family(
+                    name, sub_params[fam_key[name]], y, y_hat,
+                    sn_update=sn_update)
+                new_sub[fam_key[name]] = newp
                 total = total + losses.discriminator_loss(lr, lg)
-            return total
+            return total, new_sub
         return f
 
     if fuse_updates:
         @jax.jit
         def disc_fused(disc_params, disc_opt, y, y_hat):
-            loss, grads = jax.value_and_grad(_disc_loss_chunk(families))(
+            (loss, sn_new), grads = jax.value_and_grad(
+                _disc_loss_chunk(families), has_aux=True)(
                 disc_params, y, y_hat)
             updates, disc_opt = disc_tx.update(grads, disc_opt, disc_params)
-            return optax.apply_updates(disc_params, updates), disc_opt, loss
+            new_params = optax.apply_updates(disc_params, updates)
+            new_params = hifigan.merge_sn_buffers(new_params, sn_new)
+            return new_params, disc_opt, loss
     else:
         disc_chunk_grads = [
-            jax.jit(jax.value_and_grad(_disc_loss_chunk(chunk)))
+            jax.jit(jax.value_and_grad(_disc_loss_chunk(chunk), has_aux=True))
             for chunk in chunks]
 
         @jax.jit
-        def disc_update(disc_params, disc_opt, grad_subsets):
+        def disc_update(disc_params, disc_opt, grad_subsets, sn_subsets):
             grads = {k: v for sub in grad_subsets for k, v in sub.items()}
+            sn_new = {k: v for sub in sn_subsets for k, v in sub.items()}
             updates, disc_opt = disc_tx.update(grads, disc_opt, disc_params)
-            return optax.apply_updates(disc_params, updates), disc_opt
+            new_params = optax.apply_updates(disc_params, updates)
+            new_params = hifigan.merge_sn_buffers(new_params, sn_new)
+            return new_params, disc_opt
 
     # ---- generator phase -------------------------------------------------
     # each chunk re-renders inside (gradient flow to the generator); chunk 0
@@ -271,25 +315,29 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
             x = linear_interp_x4(x, scale_factor)
             y_hat = hifigan.generator_forward(gen_params, x, voc_cfg)
             total = 0.0
+            new_sub = {}
             for name in chunk:
-                lr, lg, fr, fg = run_family(name, disc_params[fam_key[name]],
-                                            y, y_hat)
+                lr, lg, fr, fg, newp = run_family(
+                    name, disc_params[fam_key[name]], y, y_hat,
+                    sn_update=True)
+                new_sub[fam_key[name]] = newp
                 total = total + losses.feature_loss(fr, fg) \
                     + losses.generator_adv_loss(lg)
             ml = losses.mel_loss(y[:, 0, :], y_hat[:, 0, :], voc_cfg) \
                 if with_mel else jnp.float32(0.0)
-            return total + ml, ml
+            return total + ml, (ml, new_sub)
         return f
 
     if fuse_updates:
         @jax.jit
         def gen_fused(gen_params, gen_opt, disc_params, latents, y):
-            (loss, ml), grads = jax.value_and_grad(
+            (loss, (ml, sn_new)), grads = jax.value_and_grad(
                 _gen_loss_chunk(families, True), has_aux=True)(
                 gen_params, disc_params, latents, y)
             updates, gen_opt = gen_tx.update(grads, gen_opt, gen_params)
+            disc_params = hifigan.merge_sn_buffers(disc_params, sn_new)
             return (optax.apply_updates(gen_params, updates), gen_opt,
-                    loss, ml)
+                    loss, ml, disc_params)
     else:
         gen_chunk_grads = [
             jax.jit(jax.value_and_grad(_gen_loss_chunk(chunk, i == 0),
@@ -310,27 +358,34 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
         if fuse_updates:
             disc_params, disc_opt, d_loss = disc_fused(
                 state.disc_params, state.disc_opt, wav_gt, y_hat)
-            gen_params, gen_opt, g_loss, ml = gen_fused(
+            gen_params, gen_opt, g_loss, ml, disc_params = gen_fused(
                 state.gen_params, state.gen_opt, disc_params, latents, wav_gt)
             d_losses, g_losses = [d_loss], [g_loss]
         else:
-            d_losses, d_grad_subs = [], []
+            d_losses, d_grad_subs, d_sn_subs = [], [], []
             for chunk, vg in zip(chunks, disc_chunk_grads):
                 sub = {fam_key[n]: state.disc_params[fam_key[n]]
                        for n in chunk}
-                l, g = vg(sub, wav_gt, y_hat)
+                (l, sn_new), g = vg(sub, wav_gt, y_hat)
                 d_losses.append(l)
                 d_grad_subs.append(g)
+                d_sn_subs.append(sn_new)
             disc_params, disc_opt = disc_update(
-                state.disc_params, state.disc_opt, d_grad_subs)
+                state.disc_params, state.disc_opt, d_grad_subs, d_sn_subs)
 
             g_losses, g_grad_list = [], []
             ml = None
             for vg in gen_chunk_grads:
-                (l, ml_c), g = vg(state.gen_params, disc_params, latents,
-                                  wav_gt)
+                (l, (ml_c, sn_new)), g = vg(state.gen_params, disc_params,
+                                            latents, wav_gt)
                 g_losses.append(l)
                 g_grad_list.append(g)
+                # gen-pass power iterations also advance the buffers (torch
+                # runs D in train mode for the generator loss too)
+                disc_params = {**disc_params,
+                               **{k: hifigan.merge_sn_buffers(disc_params[k],
+                                                              v)
+                                  for k, v in sn_new.items()}}
                 if ml is None:
                     ml = ml_c
             gen_params, gen_opt = gen_update(state.gen_params, state.gen_opt,
@@ -347,7 +402,8 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
     @jax.jit
     def eval_losses(state: VocoderTrainState, latents, wav_gt):
         y_hat = render_fn(state.gen_params, latents)
-        d_loss = _disc_loss_chunk(families)(state.disc_params, wav_gt, y_hat)
+        d_loss, _ = _disc_loss_chunk(families, sn_update=False)(
+            state.disc_params, wav_gt, y_hat)
         ml = losses.mel_loss(wav_gt[:, 0, :], y_hat[:, 0, :], voc_cfg)
         return d_loss, ml
 
