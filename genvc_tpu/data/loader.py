@@ -8,9 +8,12 @@ feeding device_put'ed batches so the accelerator never waits on IO.
 
 from __future__ import annotations
 
+import logging
 import queue
 import random
 import threading
+
+logger = logging.getLogger(__name__)
 
 
 class BatchLoader:
@@ -35,6 +38,43 @@ class BatchLoader:
         self.epoch = 0
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # reference-faithful data fault tolerance (dataset.py:122-129):
+        # substitute a known-good sample for failing items instead of
+        # shrinking the epoch; counters are observability for systematic
+        # data failures (round-2 weak finding: silent batch drops)
+        self.fallback_index = 1 if len(dataset) > 1 else 0
+        self.substitutions = 0
+        self.dropped_batches = 0
+        self._stats_lock = threading.Lock()
+
+    def _collate_substituting(self, idx, wrng):
+        """Collate a batch; on failure, probe each item and replace the
+        failing ones with the known-good ``fallback_index`` sample (the
+        reference's ``__getitem__`` recursion into item 1), keeping the
+        batch count intact."""
+        try:
+            return self.dataset.collate(idx, wrng)
+        except Exception:
+            pass
+        good = []
+        n_sub = 0
+        for j in idx:
+            try:
+                self.dataset.collate([j], wrng)
+                good.append(j)
+            except Exception:
+                good.append(self.fallback_index)
+                n_sub += 1
+        if n_sub == 0:
+            # batch-level (not item-level) failure: retry once as-is so a
+            # transient error doesn't drop the batch
+            return self.dataset.collate(idx, wrng)
+        with self._stats_lock:
+            self.substitutions += n_sub
+        logger.warning("substituted %d failing sample(s) in batch with item "
+                       "%d (total substitutions: %d)", n_sub,
+                       self.fallback_index, self.substitutions)
+        return self.dataset.collate(good, wrng)
 
     def _shard_len(self):
         n = len(self.dataset)
@@ -81,8 +121,8 @@ class BatchLoader:
                         break
                     cursor["i"] = i + 1
                 try:
-                    batch = self.dataset.collate(batches[i], wrng)
-                except Exception as e:  # corrupt-batch fault tolerance
+                    batch = self._collate_substituting(batches[i], wrng)
+                except Exception as e:  # even the substituted batch failed
                     batch = e
                 q.put((i, batch))
             q.put((None, None))
@@ -100,7 +140,13 @@ class BatchLoader:
                     finished += 1
                     continue
                 if isinstance(batch, Exception):
-                    continue  # skip corrupt batch (reference substitutes)
+                    # substitution already failed too — drop, but loudly
+                    with self._stats_lock:
+                        self.dropped_batches += 1
+                    logger.warning("dropping unrecoverable batch (%s); "
+                                   "total dropped: %d", batch,
+                                   self.dropped_batches)
+                    continue
                 produced += 1
                 yield batch
         finally:

@@ -55,6 +55,7 @@ class FrozenModules:
     sample_rate: int = 24000
     content_sample_rate: int = 16000
     text_frame_rate: float = 0.02
+    dvae_sample_rate: int = 24000
 
 
 jax.tree_util.register_dataclass(
@@ -63,7 +64,7 @@ jax.tree_util.register_dataclass(
                  "content_dvae_params", "mel_norms"],
     meta_fields=["acoustic_dvae_cfg", "content_dvae_cfg", "style_spec",
                  "dvae_spec", "sample_rate", "content_sample_rate",
-                 "text_frame_rate"])
+                 "text_frame_rate", "dvae_sample_rate"])
 
 
 def make_frozen(cfg: GenVCConfig, tree: dict, mel_norms) -> FrozenModules:
@@ -98,6 +99,7 @@ def make_frozen(cfg: GenVCConfig, tree: dict, mel_norms) -> FrozenModules:
         sample_rate=cfg.audio.sample_rate,
         content_sample_rate=cfg.audio.content_sample_rate,
         text_frame_rate=cfg.text_frame_rate,
+        dvae_sample_rate=cfg.audio.dvae_sample_rate,
     )
 
 
@@ -113,7 +115,18 @@ def prepare_features(frozen: FrozenModules, batch: dict) -> dict:
     cond = batch["conditioning"][:, 0, 0, :]  # (B, Tc)
 
     cond_mels = mel_mod.mel_torchaudio(cond, frozen.style_spec, frozen.mel_norms)
-    dvae_mel = mel_mod.mel_torchaudio(wav, frozen.dvae_spec, frozen.mel_norms)
+    if frozen.dvae_sample_rate != frozen.sample_rate:
+        # kaiser-window resample to the acoustic dVAE's rate with the
+        # reference's exact filter (gpt_trainer.py:213-222); no-op for the
+        # shipped configs (24k -> 24k)
+        dvae_wav = resample(wav, frozen.sample_rate, frozen.dvae_sample_rate,
+                            lowpass_filter_width=64,
+                            rolloff=0.9475937167399596,
+                            beta=14.769656459379492, window="kaiser")
+    else:
+        dvae_wav = wav
+    dvae_mel = mel_mod.mel_torchaudio(dvae_wav, frozen.dvae_spec,
+                                      frozen.mel_norms)
     audio_codes = dvae.get_codebook_indices(
         frozen.acoustic_dvae_params, dvae_mel, frozen.acoustic_dvae_cfg)
 

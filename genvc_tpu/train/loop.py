@@ -143,6 +143,12 @@ def fit(state, train_step: Callable, train_loader, *,
             if max_steps is not None and step >= max_steps:
                 done = True
                 break
+        if done:
+            # epoch cut short by max_steps: skip the epoch-end eval pass and
+            # on_epoch_end hook — they would advance epoch-keyed state
+            # (loader epoch bump, epoch schedules) on a fractional epoch; the
+            # final ckpt.save below still persists everything
+            break
         train_avg = avg.averages()
         log = {f"avg_{k}": v for k, v in train_avg.items()}
         if eval_step is not None and eval_loader is not None:

@@ -101,6 +101,65 @@ def test_resample_length_and_tone():
     assert abs(np.abs(y[0][1000:-1000]).max() - 1.0) < 0.03
 
 
+def _torchaudio_resample_replica(x, orig_freq, new_freq, lowpass_filter_width,
+                                 rolloff, beta):
+    """Independent float64 numpy replica of torchaudio.functional.resample's
+    kaiser_window path (torchaudio _get_sinc_resample_kernel semantics),
+    written from the published algorithm — the golden reference for the
+    acoustic-dVAE resample branch (gpt_trainer.py:213-222); torchaudio itself
+    is not installed in this image."""
+    import math
+
+    g = math.gcd(orig_freq, new_freq)
+    orig, new = orig_freq // g, new_freq // g
+    base_freq = min(orig, new) * rolloff
+    width = math.ceil(lowpass_filter_width * orig / base_freq)
+    idx = np.arange(-width, width + orig, dtype=np.float64)[None, :] / orig
+    t = (-np.arange(new, dtype=np.float64)[:, None] / new + idx) * base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.i0(beta * np.sqrt(1 - (t / lowpass_filter_width) ** 2)) \
+        / np.i0(beta)
+    t *= np.pi
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
+    kernels *= window * base_freq / orig
+    xt = np.asarray(x, dtype=np.float64)
+    n = xt.shape[-1]
+    target_len = math.ceil(new * n / orig)
+    xp = np.pad(xt, [(0, 0)] * (xt.ndim - 1) + [(width, width + orig)])
+    out = np.zeros(xt.shape[:-1] + (new, (n + orig - 1) // orig + 1))
+    for phase in range(new):
+        k = kernels[phase]
+        for blk in range(out.shape[-1]):
+            s = blk * orig
+            seg = xp[..., s : s + k.shape[0]]
+            if seg.shape[-1] < k.shape[0]:
+                seg = np.pad(seg, [(0, 0)] * (seg.ndim - 1)
+                             + [(0, k.shape[0] - seg.shape[-1])])
+            out[..., phase, blk] = (seg * k).sum(-1)
+    y = np.swapaxes(out, -1, -2).reshape(xt.shape[:-1] + (-1,))
+    return y[..., :target_len]
+
+
+def test_resample_kaiser_matches_torchaudio_algorithm():
+    """24k -> 16k with the reference's exact kaiser filter parameters
+    (lowpass_filter_width=64, rolloff=0.9475937..., beta=14.7696...)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 4800)).astype(np.float32) * 0.5
+    kw = dict(lowpass_filter_width=64, rolloff=0.9475937167399596,
+              beta=14.769656459379492)
+    want = _torchaudio_resample_replica(x, 24000, 16000, **kw)
+    got = np.asarray(resample(jnp.asarray(x), 24000, 16000, window="kaiser",
+                              **kw))
+    assert got.shape == want.shape == (2, 3200)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # and an upsampling config (e.g. dvae_sample_rate > sample_rate)
+    want_up = _torchaudio_resample_replica(x, 16000, 24000, **kw)
+    got_up = np.asarray(resample(jnp.asarray(x), 16000, 24000,
+                                 window="kaiser", **kw))
+    assert got_up.shape == want_up.shape == (2, 7200)
+    np.testing.assert_allclose(got_up, want_up, rtol=2e-4, atol=2e-5)
+
+
 def test_resample_jax_matches_np():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((2, 9601)).astype(np.float32)

@@ -136,6 +136,65 @@ def test_loader_process_shards_disjoint():
     assert seen[0] | seen[1] == set(range(16))
 
 
+def test_loader_substitutes_corrupt_samples(caplog):
+    """A failing sample is substituted with the known-good fallback item
+    (reference dataset.py:122-129) — the batch count must NOT shrink, and
+    the substitution is counted + logged (round-2 weak finding #4)."""
+    import logging as _logging
+
+    from genvc_tpu.data.loader import BatchLoader
+
+    class FlakyDataset:
+        BAD = {5, 9}
+
+        def __len__(self):
+            return 12
+
+        def collate(self, idx, rng):
+            if any(i in self.BAD for i in idx):
+                raise ValueError(f"corrupt sample in {idx}")
+            return list(idx)
+
+    ld = BatchLoader(FlakyDataset(), batch_size=4, shuffle=False,
+                     num_workers=1, seed=0)
+    with caplog.at_level(_logging.WARNING, logger="genvc_tpu.data.loader"):
+        batches = list(ld)
+    assert len(batches) == 3  # batch count kept
+    flat = [i for b in batches for i in b]
+    assert len(flat) == 12
+    assert 5 not in flat and 9 not in flat
+    # failing items replaced by the fallback sample (index 1, like the
+    # reference's __getitem__(1) recursion)
+    assert flat.count(1) == 3
+    assert ld.substitutions == 2
+    assert ld.dropped_batches == 0
+    assert any("substituted" in r.message for r in caplog.records)
+
+
+def test_loader_drops_unrecoverable_batch():
+    """If even the substituted batch fails, the batch is dropped and
+    counted (never an exception out of the iterator)."""
+    from genvc_tpu.data.loader import BatchLoader
+
+    class BrokenDataset:
+        """Batch-level failure: every item probes fine alone, so no
+        substitution happens and the as-is retry fails again."""
+
+        def __len__(self):
+            return 8
+
+        def collate(self, idx, rng):
+            if len(idx) > 1 and any(i >= 4 for i in idx):
+                raise ValueError("batch-level failure")
+            return list(idx)
+
+    ld = BatchLoader(BrokenDataset(), batch_size=4, shuffle=False,
+                     num_workers=1, seed=0)
+    batches = list(ld)
+    assert len(batches) == 1
+    assert ld.dropped_batches == 1
+
+
 def test_max_steps_honored(tmp_path):
     from genvc_tpu.config import AudioConfig, VAEConfig
     from genvc_tpu.train.runner import run_vae_training

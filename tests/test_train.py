@@ -99,6 +99,58 @@ def test_gan_losses():
     assert float(fm) == pytest.approx(2.0)
 
 
+def test_prepare_features_kaiser_resample_branch():
+    """dvae_sample_rate != sample_rate must route the acoustic-dVAE wav
+    through the reference's kaiser resample (gpt_trainer.py:213-222); the
+    shipped 24k->24k config stays a no-op."""
+    from genvc_tpu.dsp import mel as mel_mod
+    from genvc_tpu.dsp.resample import resample
+
+    cfg = GenVCConfig()
+    cfg.acoustic_dvae_config.num_channels = 80
+    cfg.acoustic_dvae_config.num_tokens = 48
+    cfg.acoustic_dvae_config.hidden_dim = 8
+    cfg.acoustic_dvae_config.codebook_dim = 16
+    cfg.content_dvae_config.num_channels = 256
+    cfg.content_dvae_config.num_tokens = 36
+    cfg.content_dvae_config.hidden_dim = 8
+    cfg.content_dvae_config.codebook_dim = 16
+    frozen_tree = {
+        "contentvec": contentvec.init_params(jax.random.key(1), n_layers=1),
+        "acoustic_dvae": dvae.init_params(jax.random.key(2), dvae.DVAEConfig(
+            channels=80, num_tokens=48, codebook_dim=16, hidden_dim=8)),
+        "content_dvae": dvae.init_params(jax.random.key(3), dvae.DVAEConfig(
+            channels=256, num_tokens=36, codebook_dim=16, hidden_dim=8)),
+    }
+    cfg.audio.dvae_sample_rate = 16000
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, np.ones(80, np.float32))
+    assert frozen.dvae_sample_rate == 16000
+
+    rng = np.random.default_rng(0)
+    t_wav = 4 * 1920
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal((2, 1, t_wav)) * 0.1,
+                           jnp.float32),
+        "wav_lengths": jnp.full((2,), t_wav, jnp.int32),
+        "conditioning": jnp.asarray(
+            rng.standard_normal((2, 1, 1, 24000)) * 0.1, jnp.float32),
+        "cond_lens": jnp.full((2,), 24000, jnp.int32),
+        "text_lengths": jnp.full((2,), t_wav // 1920, jnp.int32),
+    }
+    feats = gpt_stage.prepare_features(frozen, batch)
+
+    # manual path: kaiser resample -> dvae mel -> codebook indices
+    wav16 = resample(batch["wav"][:, 0, :], 24000, 16000,
+                     lowpass_filter_width=64, rolloff=0.9475937167399596,
+                     beta=14.769656459379492, window="kaiser")
+    man_mel = mel_mod.mel_torchaudio(wav16, frozen.dvae_spec,
+                                     frozen.mel_norms)
+    want = dvae.get_codebook_indices(frozen.acoustic_dvae_params, man_mel,
+                                     frozen.acoustic_dvae_cfg)
+    got = feats["audio_codes"][:, : want.shape[1]]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_vocoder_train_step_smoke():
     import optax
 
