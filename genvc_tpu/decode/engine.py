@@ -89,8 +89,9 @@ def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
     return h, state_k, state_v
 
 
-def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
-    """One AR step: embed last token, forward through the cached stack, sample."""
+def _decode_forward(params, cfg, state: DecodeState):
+    """One AR forward (no sampling): embed last token, run the cached stack.
+    Returns (cache_k, cache_v, key_valid, latent, logits)."""
     compute_dtype = params["mel_embedding"].dtype
     tok_emb = params["mel_embedding"][state.last_token]
     pos_emb = params["mel_pos"][state.n_generated]
@@ -110,6 +111,13 @@ def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
     h = nn.layer_norm(params["core"]["ln_f"], h)
     latent = nn.layer_norm(params["final_norm"], h[:, 0]).astype(jnp.float32)
     logits = nn.linear(params["mel_head"], latent.astype(jnp.float32))
+    return cache_k, cache_v, key_valid, latent, logits
+
+
+def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
+    """One AR step: embed last token, forward through the cached stack, sample."""
+    cache_k, cache_v, key_valid, latent, logits = _decode_forward(
+        params, cfg, state)
 
     rng, key = jax.random.split(state.rng)
     processed = sampling.process_logits(
@@ -149,14 +157,12 @@ def init_state(cfg: gpt_model.GPTConfig, prefix_width: int, batch: int,
         rng=rng)
 
 
-def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
-            prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
-            sampler: SamplerConfig):
-    """Embed [prefix | start_audio], fill the cache, sample the first token.
-
-    prefix_emb: (B, P, D) — cond latents + formatted text embeddings
-    (gpt.build_prefix_emb). Returns (state, first_token, first_latent).
-    """
+def prefill_logits(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+                   prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray):
+    """Embed [prefix | start_audio], fill the cache; return
+    (cache-filled DecodeState, first_latent, first-position logits) WITHOUT
+    sampling — shared by :func:`prefill` (sampling) and :func:`decode_beam`
+    (beam selection)."""
     compute_dtype = params["mel_embedding"].dtype
     b, p, d = prefix_emb.shape
     start_emb = (params["mel_embedding"][cfg.start_audio_token]
@@ -199,9 +205,28 @@ def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     latent = nn.layer_norm(params["final_norm"], h[:, -1]).astype(jnp.float32)
     logits = nn.linear(params["mel_head"], latent)
 
-    rng, key = jax.random.split(state.rng)
+    filled = DecodeState(
+        cache_k=cache_k, cache_v=cache_v, key_valid=key_valid,
+        cur_index=jnp.int32(p + 1), n_generated=jnp.int32(0),
+        last_token=state.last_token, seen=state.seen,
+        finished=state.finished, rng=state.rng)
+    return filled, latent, logits
+
+
+def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+            prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+            sampler: SamplerConfig):
+    """Embed [prefix | start_audio], fill the cache, sample the first token.
+
+    prefix_emb: (B, P, D) — cond latents + formatted text embeddings
+    (gpt.build_prefix_emb). Returns (state, first_token, first_latent).
+    """
+    b = prefix_emb.shape[0]
+    filled, latent, logits = prefill_logits(params, cfg, state, prefix_emb,
+                                            prefix_valid)
+    rng, key = jax.random.split(filled.rng)
     processed = sampling.process_logits(
-        logits, state.seen, repetition_penalty=sampler.repetition_penalty,
+        logits, filled.seen, repetition_penalty=sampler.repetition_penalty,
         temperature=sampler.temperature, top_k=sampler.top_k,
         top_p=sampler.top_p)
     if sampler.do_sample:
@@ -209,12 +234,13 @@ def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     else:
         first_token = jnp.argmax(processed, axis=-1).astype(jnp.int32)
     finished = first_token == cfg.stop_audio_token
-    seen = state.seen.at[jnp.arange(b), first_token].set(True)
+    seen = filled.seen.at[jnp.arange(b), first_token].set(True)
 
     new_state = DecodeState(
-        cache_k=cache_k, cache_v=cache_v, key_valid=key_valid,
-        cur_index=jnp.int32(p + 1), n_generated=jnp.int32(1),
-        last_token=first_token, seen=seen, finished=finished, rng=rng)
+        cache_k=filled.cache_k, cache_v=filled.cache_v,
+        key_valid=filled.key_valid, cur_index=filled.cur_index,
+        n_generated=jnp.int32(1), last_token=first_token, seen=seen,
+        finished=finished, rng=rng)
     return new_state, first_token, latent
 
 
@@ -273,3 +299,148 @@ def decode_all(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     has_stop = jnp.any(is_stop, axis=1)
     n_gen = jnp.where(has_stop, first_stop + 1, max_new)
     return state, buf, n_gen
+
+
+def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+                prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+                max_new: int, num_beams: int, length_penalty: float = 1.0,
+                repetition_penalty: float = 1.0,
+                prefix_fake_len: jnp.ndarray | int | None = None):
+    """Deterministic beam search over the KV-cached engine — the
+    ``num_beams > 1`` decode mode of the reference's vendored HF generator
+    (layers/stream_generator.py:44-643, reachable via
+    ``HiFiGANTrainer.inference(num_beams=..., length_penalty=...)``,
+    trainers/hifigan_trainer.py:458-470).
+
+    HF ``beam_search`` semantics reproduced:
+    * per step: log-softmax over (repetition-penalized) logits — beam search
+      applies logits *processors* but not sampling warpers (temperature /
+      top-k / top-p belong to the sampling modes),
+    * top ``2*num_beams`` flat candidates; EOS candidates ranked inside the
+      top ``num_beams`` finalize a hypothesis with score
+      ``sum_logprobs / (cur_len ** length_penalty)`` where ``cur_len`` counts
+      HF's ``input_ids`` length — fake prefix ids included
+      (``prefix_fake_len``; gpt.py:572-592 builds them) — matching the
+      reference's normalization exactly,
+    * surviving beams are the best non-EOS candidates in rank order; the KV
+      cache is reordered by parent beam (``_reorder_cache`` analogue,
+      gpt_inference.py:126-136),
+    * stop when no running beam can beat the worst finalized hypothesis
+      (HF ``early_stopping=False`` heuristic), then finalize running beams.
+
+    ``state`` must be ``init_state`` with ``batch == num_beams``;
+    ``prefix_emb``/``prefix_valid`` are the single hypothesis tiled to
+    ``num_beams`` rows. Returns (tokens (max_new,), n_tokens) of the best
+    hypothesis, stop-token-padded, including its stop token when present.
+    """
+    nb = num_beams
+    v = cfg.num_audio_tokens
+    stop = cfg.stop_audio_token
+    if prefix_fake_len is None:
+        prefix_fake_len = prefix_emb.shape[1] + 1
+    prefix_fake_len = jnp.asarray(prefix_fake_len, jnp.float32)
+
+    filled, _, logits0 = prefill_logits(params, cfg, state, prefix_emb,
+                                        prefix_valid)
+
+    neg = jnp.finfo(jnp.float32).min
+
+    def select(logits, seen, scores, bufs, fin_scores, fin_bufs,
+               fin_lens, s):
+        """One beam-selection step. ``s`` = tokens generated so far (int32).
+        Returns (parent, tok, new_scores, new fin set)."""
+        lp = sampling.apply_repetition_penalty(
+            logits.astype(jnp.float32), seen, repetition_penalty)
+        logp = jax.nn.log_softmax(lp, axis=-1)
+        cand = scores[:, None] + logp                     # (nb, V)
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), 2 * nb)
+        parent = (top_idx // v).astype(jnp.int32)
+        tok = (top_idx % v).astype(jnp.int32)
+        is_eos = tok == stop
+        rank = jnp.arange(2 * nb)
+
+        # EOS candidates ranked in the top nb finalize hypotheses; their
+        # sequence is the parent beam's tokens so far (eos excluded), with
+        # sum-logprob including the eos step, normalized by HF's input_ids
+        # length (fake prefix + s)
+        cur_len = prefix_fake_len + s.astype(jnp.float32)
+        norm = jnp.power(jnp.maximum(cur_len, 1.0), length_penalty)
+        cand_fin_scores = jnp.where(is_eos & (rank < nb),
+                                    top_scores / norm, neg)
+        all_scores = jnp.concatenate([fin_scores, cand_fin_scores])
+        all_bufs = jnp.concatenate([fin_bufs, bufs[parent]], axis=0)
+        all_lens = jnp.concatenate(
+            [fin_lens, jnp.full((2 * nb,), s, jnp.int32)])
+        keep_s, keep_i = jax.lax.top_k(all_scores, nb)
+        new_fin = (keep_s, all_bufs[keep_i], all_lens[keep_i])
+
+        # surviving beams: best non-EOS candidates in rank order
+        order = jnp.argsort(rank + jnp.where(is_eos, 4 * nb, 0))[:nb]
+        sel_parent = parent[order]
+        sel_tok = tok[order]
+        sel_scores = top_scores[order]
+        return sel_parent, sel_tok, sel_scores, new_fin
+
+    # ---- step 0: selection on the prefill logits (all rows identical; the
+    # [0, -inf, ...] score init deduplicates like HF)
+    scores0 = jnp.full((nb,), neg).at[0].set(0.0)
+    bufs0 = jnp.full((nb, max_new), stop, jnp.int32)
+    fin0 = (jnp.full((nb,), neg), jnp.full((nb, max_new), stop, jnp.int32),
+            jnp.zeros((nb,), jnp.int32))
+    parent, tok, scores, fin = select(
+        logits0, filled.seen, scores0, bufs0, *fin0, jnp.int32(0))
+    bufs = bufs0[parent].at[:, 0].set(tok)
+    seen = filled.seen[parent].at[jnp.arange(nb), tok].set(True)
+    st = DecodeState(
+        cache_k=filled.cache_k[:, parent], cache_v=filled.cache_v[:, parent],
+        key_valid=filled.key_valid[parent], cur_index=filled.cur_index,
+        n_generated=jnp.int32(1), last_token=tok, seen=seen,
+        finished=jnp.zeros((nb,), bool), rng=filled.rng)
+
+    def not_done(carry):
+        st, bufs, scores, fin, s = carry
+        fin_scores = fin[0]
+        cur_len = prefix_fake_len + s.astype(jnp.float32)
+        best_possible = jnp.max(scores) / jnp.power(
+            jnp.maximum(cur_len, 1.0), length_penalty)
+        worst_fin = jnp.min(fin_scores)
+        done = worst_fin >= best_possible
+        return (s < max_new) & ~done
+
+    def body(carry):
+        st, bufs, scores, fin, s = carry
+        cache_k, cache_v, key_valid, _, logits = _decode_forward(
+            params, cfg, st)
+        parent, tok, new_scores, new_fin = select(
+            logits, st.seen, scores, bufs, *fin, s)
+        bufs = bufs[parent].at[:, s].set(tok)
+        seen = st.seen[parent].at[jnp.arange(nb), tok].set(True)
+        new_st = DecodeState(
+            cache_k=cache_k[:, parent], cache_v=cache_v[:, parent],
+            key_valid=key_valid[parent], cur_index=st.cur_index + 1,
+            n_generated=st.n_generated + 1, last_token=tok, seen=seen,
+            finished=st.finished, rng=st.rng)
+        return new_st, bufs, new_scores, new_fin, s + 1
+
+    st, bufs, scores, fin, s = jax.lax.while_loop(
+        not_done, body, (st, bufs, scores, fin, jnp.int32(1)))
+
+    # HF finalize: running beams join the hypothesis pool (normalized at the
+    # final length) in case fewer than nb hypotheses hit EOS
+    fin_scores, fin_bufs, fin_lens = fin
+    cur_len = prefix_fake_len + s.astype(jnp.float32)
+    run_norm = scores / jnp.power(jnp.maximum(cur_len, 1.0), length_penalty)
+    all_scores = jnp.concatenate([fin_scores, run_norm])
+    all_bufs = jnp.concatenate([fin_bufs, bufs], axis=0)
+    all_lens = jnp.concatenate([fin_lens, jnp.full((nb,), s, jnp.int32)])
+    best = jnp.argmax(all_scores)
+    best_buf = all_bufs[best]
+    best_len = all_lens[best]
+    # append the stop token (finalized hypotheses exclude it; callers strip
+    # stop tokens like the reference inference does)
+    has_room = best_len < max_new
+    best_buf = jnp.where(
+        has_room,
+        best_buf.at[jnp.minimum(best_len, max_new - 1)].set(stop), best_buf)
+    n_tokens = jnp.where(has_room, best_len + 1, best_len)
+    return best_buf, n_tokens

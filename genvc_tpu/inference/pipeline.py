@@ -96,6 +96,11 @@ class GenVCPipeline:
         # chunks decoded+vocoded per device call (each chunk still emitted as
         # a standalone 8-token window, byte-identical to single-chunk calls)
         self.chunks_per_call: int = 2
+        # first emitted window size in AR tokens (latency knob): 4 halves the
+        # prefill+decode+vocode compute floor before first audio vs the
+        # reference's 8 (inference_utils.py:187-211); later windows keep the
+        # 8-token cadence. Set to STREAM_CHUNK to mirror the reference exactly.
+        self.first_chunk_tokens: int = 4
         self._build_jits()
 
     def _host_n_codes(self, t_real: int) -> int:
@@ -213,40 +218,44 @@ class GenVCPipeline:
                                            n_codes.astype(jnp.int32), rng)
             return state, tok0, lat0, n_codes, codes
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def stream_chunk_fn(gpt_params, hifi_params, state, k, carry_latents):
-            """k decode steps + per-8-latent-window vocoding in one dispatch.
-            carry width + k must be a multiple of STREAM_CHUNK; each window is
-            vocoded EXACTLY like a standalone reference chunk (independent
-            conv context), so emitting w windows per call is byte-identical to
-            w single-chunk calls — it just halves dispatch/fetch round trips.
-            Returns wavs stacked (n_windows, chunk*1024)."""
+        @functools.partial(jax.jit, static_argnames=("k", "win"))
+        def stream_chunk_fn(gpt_params, hifi_params, state, k, carry_latents,
+                            win=STREAM_CHUNK):
+            """k decode steps + per-``win``-latent-window vocoding in one
+            dispatch. carry width + k must be a multiple of ``win``; each
+            window is vocoded EXACTLY like a standalone reference chunk
+            (independent conv context), so emitting w windows per call is
+            byte-identical to w single-chunk calls — it just halves
+            dispatch/fetch round trips. ``win`` defaults to the 8-token
+            reference cadence; the latency-critical first call uses a shorter
+            window (first_chunk_tokens) to emit audio after fewer AR steps.
+            Returns wavs stacked (n_windows, win*stride*4)."""
             st, toks, lats, pre_fin = engine.decode_chunk(
                 gpt_params, gcfg, state, sampler, chunk=k)
             all_lats = jnp.concatenate([carry_latents, lats], axis=1)
-            n_windows = all_lats.shape[1] // STREAM_CHUNK
-            win = all_lats[:, : n_windows * STREAM_CHUNK].reshape(
-                n_windows, STREAM_CHUNK, all_lats.shape[-1])
-            x = jnp.swapaxes(win, 1, 2)
+            n_windows = all_lats.shape[1] // win
+            w = all_lats[:, : n_windows * win].reshape(
+                n_windows, win, all_lats.shape[-1])
+            x = jnp.swapaxes(w, 1, 2)
             x = linear_interp_x4(x, self.hifigan_scale_factor)
             wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
             return st, toks, all_lats, pre_fin, wavs
 
-        @functools.partial(jax.jit, static_argnums=(3,))
+        @functools.partial(jax.jit, static_argnames=("k", "win"))
         def stream_chunk_batch_fn(gpt_params, hifi_params, state, k,
-                                  carry_latents):
-            """B-row variant of stream_chunk_fn: each row's completed 8-token
-            windows fold into the vocoder batch dim. Returns wavs
-            (B, n_windows, chunk*stride) — per-row windows remain
+                                  carry_latents, win=STREAM_CHUNK):
+            """B-row variant of stream_chunk_fn: each row's completed
+            ``win``-token windows fold into the vocoder batch dim. Returns
+            wavs (B, n_windows, win*stride*4) — per-row windows remain
             byte-identical to standalone single-row chunks."""
             st, toks, lats, pre_fin = engine.decode_chunk(
                 gpt_params, gcfg, state, sampler, chunk=k)
             all_lats = jnp.concatenate([carry_latents, lats], axis=1)
             b, w, dd = all_lats.shape
-            n_windows = w // STREAM_CHUNK
-            win = all_lats[:, : n_windows * STREAM_CHUNK].reshape(
-                b * n_windows, STREAM_CHUNK, dd)
-            x = jnp.swapaxes(win, 1, 2)
+            n_windows = w // win
+            wr = all_lats[:, : n_windows * win].reshape(
+                b * n_windows, win, dd)
+            x = jnp.swapaxes(wr, 1, 2)
             x = linear_interp_x4(x, self.hifigan_scale_factor)
             wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
             return st, toks, all_lats, pre_fin, wavs.reshape(b, n_windows, -1)
@@ -255,6 +264,32 @@ class GenVCPipeline:
         def decode_all_fn(gpt_params, state, max_new):
             return engine.decode_all(gpt_params, gcfg, state, sampler, max_new)
 
+        @functools.partial(jax.jit, static_argnames=(
+            "max_new", "num_beams", "length_penalty"))
+        def beam_fn(gpt_params, cond_latents, text_codes, text_len,
+                    prefix_fake_len, rng, max_new, num_beams,
+                    length_penalty=1.0):
+            """Deterministic beam search (reference num_beams>1 decode mode,
+            HiFiGANTrainer.inference, hifigan_trainer.py:458-470): the single
+            hypothesis is tiled over the engine's batch dim."""
+            nb = num_beams
+            cond_t = jnp.broadcast_to(
+                cond_latents, (nb,) + cond_latents.shape[1:])
+            codes_t = jnp.broadcast_to(text_codes,
+                                       (nb, text_codes.shape[1]))
+            lens_t = jnp.broadcast_to(text_len, (nb,))
+            prefix, valid = gpt_model.build_prefix_emb(
+                gpt_params, gcfg, cond_t, codes_t, lens_t)
+            state = engine.init_state(
+                gcfg, self._prefix_width, nb, gcfg.heads,
+                gcfg.model_dim // gcfg.heads, rng,
+                cache_dtype=gpt_params["mel_embedding"].dtype)
+            return engine.decode_beam(
+                gpt_params, gcfg, state, prefix, valid, max_new, nb,
+                length_penalty=length_penalty,
+                repetition_penalty=sampler.repetition_penalty,
+                prefix_fake_len=prefix_fake_len)
+
         @jax.jit
         def cond_latent_batch_fn(gpt_params, ref_chunks, n_frames_valid,
                                  chunk_valid):
@@ -262,8 +297,10 @@ class GenVCPipeline:
             speaker latent (1, 32, D); invalid chunk rows drop out of the
             mean. One dispatch instead of one per chunk. ``ref_chunks`` ships
             as int16 PCM (exact for PCM16 sources, halves the host->device
-            transfer) and converts on device."""
-            ref_chunks = ref_chunks.astype(jnp.float32) / 32768.0
+            transfer) and converts on device; float inputs pass through
+            unscaled (same guard as content_fn)."""
+            if jnp.issubdtype(ref_chunks.dtype, jnp.integer):
+                ref_chunks = ref_chunks.astype(jnp.float32) / 32768.0
             m = mel_mod.mel_torchaudio(ref_chunks, style_spec, mel_norms,
                                        pre_padded=True)
             n_frames = m.shape[-1]
@@ -273,26 +310,32 @@ class GenVCPipeline:
             return (jnp.sum(embs * w, axis=0) /
                     jnp.maximum(jnp.sum(w), 1.0))[None]
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("first_win",))
         def first_audio_fn(cv_params, cd_params, gpt_params, hifi_params,
                            ref_chunks, n_frames_valid, chunk_valid,
-                           seg16k, sample_valid, rng):
+                           seg16k, sample_valid, rng,
+                           first_win=STREAM_CHUNK):
             """Everything from raw reference + source segment to the first
             audio chunk in ONE dispatch: cond latents, content codes, prefill,
-            chunk-1 decode, vocoder. Minimizes time-to-first-audio on
-            dispatch-latency-bound links."""
+            first_win-1 decode steps, vocoder. ``first_win`` < STREAM_CHUNK
+            (default 4 via first_chunk_tokens) emits the first audio after
+            fewer AR steps — roughly halving the compute floor of the
+            time-to-first-audio; the driver then resumes the 8-token cadence
+            (the crossfade assembler smooths the one short seam exactly like
+            any reference chunk boundary)."""
             cond = cond_latent_batch_fn(gpt_params, ref_chunks,
                                         n_frames_valid, chunk_valid)
             state, tok0, lat0, n_codes, codes = segment_prefill_fn(
                 cv_params, cd_params, gpt_params, hifi_params, cond, seg16k,
                 sample_valid, rng)
             st, toks, lats, pre_fin, wav = stream_chunk_fn(
-                gpt_params, hifi_params, state, STREAM_CHUNK - 1,
-                lat0[:, None, :])
+                gpt_params, hifi_params, state, first_win - 1,
+                lat0[:, None, :], win=first_win)
             return cond, st, tok0, toks, lats, pre_fin, wav, n_codes
 
         self._cond_latent_batch_fn = cond_latent_batch_fn
         self._first_audio_fn = first_audio_fn
+        self._beam_fn = beam_fn
         self._stream_chunk_batch_fn = stream_chunk_batch_fn
         self._segment_prefill_fn = segment_prefill_fn
         self._stream_chunk_fn = stream_chunk_fn
@@ -368,9 +411,11 @@ class GenVCPipeline:
 
     @staticmethod
     def _pcm16(x: np.ndarray) -> np.ndarray:
-        """Quantize to int16 PCM for the host->device transfer (exact for
-        PCM16-derived sources; halves bytes through slow links). Every source
-        driver quantizes identically so all code paths see the same signal."""
+        """Quantize to int16 PCM for the host->device transfer (halves bytes
+        through slow links). Quantization noise is bounded at 1 LSB (~-90 dB)
+        — resampled sources are float-valued by the time they reach here — and
+        every source driver quantizes identically, so all code paths see the
+        same signal."""
         return np.clip(np.rint(np.asarray(x) * 32768.0),
                        -32768, 32767).astype(np.int16)
 
@@ -409,14 +454,29 @@ class GenVCPipeline:
             jnp.asarray(self._pcm16(seg_padded)),
             jnp.asarray([t_real], jnp.int32), self._next_rng())
 
-    def generate_segment_codes(self, codes, n_codes: int):
+    def generate_segment_codes(self, codes, n_codes: int, num_beams: int = 1,
+                               length_penalty: float = 1.0):
         """AR generation for one segment via the single-dispatch on-device
         while_loop; returns (list of generated tokens incl. the stop token,
-        None). Kept for API parity/tests."""
+        None). ``num_beams > 1`` switches to deterministic beam search with
+        ``length_penalty`` (the reference HiFiGANTrainer.inference decode
+        surface). Kept for API parity/tests."""
+        max_new = self._max_new(n_codes)
+        if num_beams > 1:
+            # HF normalizes by the fake input_ids length: cond latents +
+            # [start_text | codes | stop_text] + start_audio
+            prefix_fake_len = self.gpt_cfg.n_cond_latents + n_codes + 3
+            buf, n_tok = self._beam_fn(
+                self.gpt_params, self._cond_latent, codes,
+                jnp.asarray([n_codes], jnp.int32)[0],
+                jnp.float32(prefix_fake_len), self._next_rng(),
+                max_new=max_new, num_beams=num_beams,
+                length_penalty=length_penalty)
+            n = int(n_tok)
+            return [int(t) for t in np.asarray(buf)[:n]], None
         state, tok0, lat0 = self._prefill_fn(
             self.gpt_params, self._cond_latent, codes,
             jnp.asarray([n_codes], jnp.int32), self._next_rng())
-        max_new = self._max_new(n_codes)
         state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,
                                                  max_new)
         n = int(n_gen[0])
@@ -424,14 +484,17 @@ class GenVCPipeline:
 
     # ------------------------------------------------------------ public API
 
-    def synthesize(self, src_wav: np.ndarray, ref_audio: np.ndarray
+    def synthesize(self, src_wav: np.ndarray, ref_audio: np.ndarray,
+                   num_beams: int = 1, length_penalty: float = 1.0
                    ) -> np.ndarray:
         """Non-streaming VC (reference synthesize_utt, inference_utils.py:24-89).
 
         src_wav: (1, T) @16 kHz; ref_audio: (1, T) @24 kHz -> (T_out,) @24 kHz.
         Four device dispatches per segment: cond latent (once), fused
         content+prefill, decode_all while_loop, teacher-forced latent pass;
-        then one masked full-utterance vocoder call.
+        then one masked full-utterance vocoder call. ``num_beams > 1``
+        decodes each segment with deterministic beam search (the reference
+        HiFiGANTrainer.inference surface, hifigan_trainer.py:458-470).
         """
         self._cond_latent = self.get_gpt_cond_latents(ref_audio)
         final_latents = []
@@ -439,9 +502,15 @@ class GenVCPipeline:
             state, tok0, lat0, n_codes_dev, codes = self._start_segment(seg, t_real)
             n_codes = int(n_codes_dev[0])
             max_new = self._max_new(n_codes)
-            state, toks, n_gen = self._decode_all_fn(self.gpt_params, state,
-                                                     max_new)
-            toks_np = np.asarray(toks)[0, : int(n_gen[0])]
+            if num_beams > 1:
+                toks_list, _ = self.generate_segment_codes(
+                    codes, n_codes, num_beams=num_beams,
+                    length_penalty=length_penalty)
+                toks_np = np.asarray(toks_list, np.int32)
+            else:
+                state, toks, n_gen = self._decode_all_fn(self.gpt_params,
+                                                         state, max_new)
+                toks_np = np.asarray(toks)[0, : int(n_gen[0])]
             gen = [int(t) for t in toks_np if t != self.gpt_cfg.stop_audio_token]
             if not gen:
                 continue
@@ -608,42 +677,52 @@ class GenVCPipeline:
         timing["host_prep_ms"] = (time.perf_counter() - begin) * 1000
         self._cond_latent = None
 
-        def prefetch(chunk):
+        def prefetch(entry):
             # start the device->host copies as soon as the chunk is dispatched
             # so the consuming device_get is a local cache hit (fetch latency
             # overlaps decode instead of serializing after it)
-            _, toks, _, pre_fin, wav = chunk
+            (_, toks, _, pre_fin, wav), _, _ = entry
             try:
                 toks.copy_to_host_async()
                 pre_fin.copy_to_host_async()
                 wav.copy_to_host_async()
             except Exception:
                 pass
-            return chunk
+            return entry
 
+        # inflight entries: ((state, toks, lats, pre_fin, wavs), win, carry_n)
+        # — win is the vocoder window size this call used (first window may be
+        # shorter than csz for latency), carry_n the latents carried in from
+        # the previous context (1 for the prefill latent, else 0)
+        first_win = max(1, min(self.first_chunk_tokens, csz))
         for seg, t_real in self._segments(src_wav):
             if self._cond_latent is None:
                 # first segment: ref conditioning -> ... -> first audio chunk
-                # in a single device dispatch (latency-critical)
+                # in a single device dispatch (latency-critical); the first
+                # window is first_win tokens (prefill latent + first_win-1
+                # decode steps) — audio leaves the device after ~half the AR
+                # steps of the reference's 8-token first chunk
                 (cond, state, tok0, ctoks, clats, cpre_fin, cwav,
                  n_codes_dev) = self._first_audio_fn(
                     self.contentvec_params, self.content_dvae_params,
                     self.gpt_params, self.hifigan_params,
                     jnp.asarray(ref_chunks), jnp.asarray(ref_frames),
                     jnp.asarray(ref_valid), jnp.asarray(self._pcm16(seg)),
-                    jnp.asarray([t_real], jnp.int32), self._next_rng())
+                    jnp.asarray([t_real], jnp.int32), self._next_rng(),
+                    first_win=first_win)
                 timing["first_dispatch_ms"] = \
                     (time.perf_counter() - begin) * 1000
                 self._cond_latent = cond
-                lat0 = clats[:, :1]
-                inflight = [prefetch((state, ctoks, clats, cpre_fin, cwav))]
+                inflight = [prefetch(
+                    ((state, ctoks, clats, cpre_fin, cwav), first_win, 1))]
             else:
                 state, tok0, lat0, n_codes_dev, _ = self._start_segment(
                     seg, t_real)
                 # first fused chunk: prefill latent + (csz-1) decode steps
-                inflight = [prefetch(self._stream_chunk_fn(
+                # (later segments are not latency-critical; keep the 8-cadence)
+                inflight = [prefetch((self._stream_chunk_fn(
                     self.gpt_params, self.hifigan_params, state, csz - 1,
-                    lat0[:, None, :]))]
+                    lat0[:, None, :]), csz, 1))]
             # speculative pipeline: keep `depth` chunks in flight so the
             # host<->device round trip amortizes over depth x chunk compute.
             # Chunks decoded past EOS are garbage (finished rows emit stop
@@ -656,23 +735,24 @@ class GenVCPipeline:
             n_total = 1
             call_sz = csz * self.chunks_per_call
             while (len(inflight) < depth and
-                   n_total + sum(c[1].shape[1] for c in inflight) < max_new):
-                inflight.append(prefetch(self._stream_chunk_fn(
-                    self.gpt_params, self.hifigan_params, inflight[-1][0],
-                    call_sz, empty_carry)))
+                   n_total + sum(e[0][1].shape[1] for e in inflight) < max_new):
+                inflight.append(prefetch((self._stream_chunk_fn(
+                    self.gpt_params, self.hifigan_params, inflight[-1][0][0],
+                    call_sz, empty_carry), csz, 0)))
 
             first_chunk = True
             seg_done = False
             while inflight and not seg_done:
-                st, toks, lats, pre_fin, wavs = inflight.pop(0)
+                (st, toks, lats, pre_fin, wavs), win, carry_n = \
+                    inflight.pop(0)
                 # top up the pipeline before consuming this call (each later
                 # call is chunks_per_call chunks of csz)
-                queued = sum(c[1].shape[1] for c in inflight)
+                queued = sum(e[0][1].shape[1] for e in inflight)
                 if n_total + queued + call_sz < max_new:
-                    tail_state = inflight[-1][0] if inflight else st
-                    inflight.append(prefetch(self._stream_chunk_fn(
+                    tail_state = inflight[-1][0][0] if inflight else st
+                    inflight.append(prefetch((self._stream_chunk_fn(
                         self.gpt_params, self.hifigan_params, tail_state,
-                        call_sz, empty_carry)))
+                        call_sz, empty_carry), csz, 0)))
                 toks_np, wavs_np, pre_fin_np = jax.device_get(
                     (toks, wavs, pre_fin))  # one sync
                 timing.setdefault("first_fetch_ms",
@@ -687,7 +767,6 @@ class GenVCPipeline:
                     break
                 first_chunk = False
                 k = len(toks_np)
-                carry = (csz - k % csz) % csz
                 eos_j = None
                 for j, t in enumerate(toks_np):
                     if n_total + j + 1 > max_new:
@@ -699,17 +778,17 @@ class GenVCPipeline:
                 if eos_j is None and n_total + k >= max_new:
                     eos_j = k - 1
                 # emit complete windows up to (and including) the EOS window
-                n_lat_valid = carry + (k if eos_j is None else eos_j + 1)
+                n_lat_valid = carry_n + (k if eos_j is None else eos_j + 1)
                 n_windows = wavs_np.shape[0]
-                full = n_lat_valid // csz
+                full = n_lat_valid // win
                 for w in range(min(full, n_windows)):
                     emit(wavs_np[w])
-                rem = n_lat_valid - full * csz
+                rem = n_lat_valid - full * win
                 if eos_j is not None:
                     if rem > 0:
                         wav_gen = self._vocode_fn(
                             self.hifigan_params,
-                            lats[:, full * csz : full * csz + rem], rem)
+                            lats[:, full * win : full * win + rem], rem)
                         emit(np.asarray(wav_gen)[0])
                     seg_done = True
                 else:
@@ -735,6 +814,22 @@ class GenVCPipeline:
         Returns (list of (T_out,) wavs @24 kHz, per-row first-chunk latency
         list in seconds, aggregate RTF = elapsed / total input audio).
         """
+        import gc
+
+        # same latency-tail mitigations as the single-row path: GC pauses
+        # inside a first-chunk window are avoidable outliers
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            return self._synthesize_streaming_batch(
+                src_wavs, ref_audios, stream_chunk_size, verbose)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    def _synthesize_streaming_batch(self, src_wavs, ref_audios,
+                                    stream_chunk_size: int = STREAM_CHUNK,
+                                    verbose: bool = True):
         begin = time.perf_counter()
         bsz = len(src_wavs)
         stop = self.gpt_cfg.stop_audio_token
@@ -757,6 +852,19 @@ class GenVCPipeline:
         empty_carry = jnp.zeros((bsz, 0, d), jnp.float32)
         depth = self.pipeline_depth
         call_sz = csz * self.chunks_per_call
+        first_win = max(1, min(self.first_chunk_tokens, csz))
+
+        def prefetch(entry):
+            # device->host copies start at dispatch (fetch overlaps decode
+            # instead of serializing after it — same as the single-row path)
+            (_, toks, _, pre_fin, wavs), _, _ = entry
+            try:
+                toks.copy_to_host_async()
+                pre_fin.copy_to_host_async()
+                wavs.copy_to_host_async()
+            except Exception:
+                pass
+            return entry
 
         for r in range(max_rounds):
             rows, t_reals, active = [], [], []
@@ -784,30 +892,35 @@ class GenVCPipeline:
             hard_cap = max(caps)
             done = [not a for a in active]
 
-            inflight = [self._stream_chunk_batch_fn(
-                self.gpt_params, self.hifigan_params, state, csz - 1,
-                lat0[:, None, :])]
+            # round 0 emits each row's FIRST audio: use the short first
+            # window (first_win tokens) like the single-row latency path;
+            # later rounds are not latency-critical
+            win0 = first_win if r == 0 else csz
+            inflight = [prefetch((self._stream_chunk_batch_fn(
+                self.gpt_params, self.hifigan_params, state, win0 - 1,
+                lat0[:, None, :], win=win0), win0, 1))]
             n_total = 1
             first_call = True
             while (len(inflight) < depth and
-                   n_total + sum(c[1].shape[1] for c in inflight) < hard_cap):
-                inflight.append(self._stream_chunk_batch_fn(
-                    self.gpt_params, self.hifigan_params, inflight[-1][0],
-                    call_sz, empty_carry))
+                   n_total + sum(e[0][1].shape[1] for e in inflight)
+                   < hard_cap):
+                inflight.append(prefetch((self._stream_chunk_batch_fn(
+                    self.gpt_params, self.hifigan_params, inflight[-1][0][0],
+                    call_sz, empty_carry), csz, 0)))
 
             while inflight and not all(done):
-                st, toks, lats, pre_fin, wavs = inflight.pop(0)
-                queued = sum(c[1].shape[1] for c in inflight)
+                (st, toks, lats, pre_fin, wavs), win, carry_n = \
+                    inflight.pop(0)
+                queued = sum(e[0][1].shape[1] for e in inflight)
                 if (not all(done)
                         and n_total + queued + call_sz < hard_cap):
-                    tail_state = inflight[-1][0] if inflight else st
-                    inflight.append(self._stream_chunk_batch_fn(
+                    tail_state = inflight[-1][0][0] if inflight else st
+                    inflight.append(prefetch((self._stream_chunk_batch_fn(
                         self.gpt_params, self.hifigan_params, tail_state,
-                        call_sz, empty_carry))
+                        call_sz, empty_carry), csz, 0)))
                 toks_np, wavs_np, pre_fin_np = jax.device_get(
                     (toks, wavs, pre_fin))  # one sync per call
                 k = toks_np.shape[1]
-                carry = (csz - k % csz) % csz
                 nw = wavs_np.shape[1]
                 for i in range(bsz):
                     if done[i]:
@@ -829,17 +942,17 @@ class GenVCPipeline:
                             break
                     if eos_j is None and n_total + k >= caps[i]:
                         eos_j = k - 1
-                    n_lat_valid = carry + (k if eos_j is None else eos_j + 1)
-                    full = n_lat_valid // csz
+                    n_lat_valid = carry_n + (k if eos_j is None else eos_j + 1)
+                    full = n_lat_valid // win
                     for w in range(min(full, nw)):
                         emit(i, wavs_np[i, w])
-                    rem = n_lat_valid - full * csz
+                    rem = n_lat_valid - full * win
                     if eos_j is not None:
                         if rem > 0:
                             wav_gen = self._vocode_fn(
                                 self.hifigan_params,
                                 lats[i : i + 1,
-                                     full * csz : full * csz + rem], rem)
+                                     full * win : full * win + rem], rem)
                             emit(i, np.asarray(wav_gen)[0])
                         done[i] = True
                 first_call = False
@@ -873,7 +986,8 @@ class GenVCPipeline:
                 self.gpt_params, self.hifigan_params, jnp.asarray(chunks),
                 jnp.asarray(frames), jnp.asarray(valid),
                 jnp.asarray(self._pcm16(src)),
-                jnp.asarray([self._seg_len_16k], jnp.int32), self._next_rng())
+                jnp.asarray([self._seg_len_16k], jnp.int32), self._next_rng(),
+                first_win=max(1, min(self.first_chunk_tokens, STREAM_CHUNK)))
             cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
                                         state, STREAM_CHUNK - 1,
                                         lat0[:, None, :])

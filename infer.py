@@ -33,6 +33,11 @@ def main():
                         help="per-source output paths for --src_wavs "
                              "(default: <output_path stem>_<i>.wav)")
     parser.add_argument("--top_k", type=int, default=15)
+    parser.add_argument("--num_beams", type=int, default=1,
+                        help="deterministic beam search for non-streaming "
+                             "synthesis (reference HiFiGANTrainer.inference "
+                             "surface); 1 = sampling")
+    parser.add_argument("--length_penalty", type=float, default=1.0)
     parser.add_argument("--streaming", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true",
@@ -109,7 +114,8 @@ def main():
         pipe.warmup(streaming=True)
         wav, latency, rtf = pipe.synthesize_streaming(src_wav, ref_audio)
     else:
-        wav = pipe.synthesize(src_wav, ref_audio)
+        wav = pipe.synthesize(src_wav, ref_audio, num_beams=args.num_beams,
+                              length_penalty=args.length_penalty)
 
     write_wav(args.output_path, wav, pipe.sample_rate)
     print(f"wrote {args.output_path}")

@@ -1,0 +1,169 @@
+"""Beam-search decode parity: engine.decode_beam (jitted, KV-cached, with
+cache reordering) vs an independent numpy beam search driven by full-sequence
+forwards (no cache). Covers the reference's ``num_beams > 1`` /
+``length_penalty`` decode surface (HiFiGANTrainer.inference,
+trainers/hifigan_trainer.py:458-470; vendored HF beam_search,
+layers/stream_generator.py:44-643)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genvc_tpu.decode import engine
+from genvc_tpu.models import gpt as gpt_model
+from genvc_tpu.ops import nn
+
+from test_gpt_parity import SMALL, hf_to_core, make_hf_gpt2
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = SMALL
+    hf = make_hf_gpt2(cfg)
+    params, _ = hf_to_core(hf, cfg)
+    rng = np.random.default_rng(3)
+    text = jnp.asarray(rng.integers(0, 256, (1, 10)), jnp.int32)
+    text_len = jnp.asarray([10], jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((1, 32, cfg.model_dim)) * 0.1,
+                       jnp.float32)
+    prefix, valid = gpt_model.build_prefix_emb(params, cfg, cond, text,
+                                               text_len)
+    return cfg, params, cond, text, text_len, prefix, valid
+
+
+def _make_step_logits(cfg, params, prefix, valid, max_new):
+    """Full-forward logits at the position after [prefix|start|toks] — fixed
+    width (single compile), masked beyond the true length."""
+    start = cfg.start_audio_token
+    width = max_new + 1
+
+    @jax.jit
+    def f(toks_padded, n_toks):
+        seq = jnp.concatenate([jnp.asarray([start]), toks_padded])
+        emb = params["mel_embedding"][seq][None] + \
+            params["mel_pos"][None, :width]
+        full = jnp.concatenate([prefix, emb], axis=1)
+        kv = jnp.concatenate(
+            [valid, jnp.arange(width)[None] <= n_toks], axis=1)
+        h = gpt_model.core_forward(params["core"], full, cfg, key_valid=kv)
+        enc = nn.layer_norm(params["final_norm"],
+                            h[:, prefix.shape[1] + n_toks])
+        return nn.linear(params["mel_head"], enc)[0]
+
+    def step_logits(toks):
+        padded = np.zeros((max_new,), np.int32)
+        padded[: len(toks)] = toks
+        return np.asarray(f(jnp.asarray(padded), jnp.int32(len(toks))),
+                          np.float64)
+
+    return step_logits
+
+
+def _numpy_beam(step_logits, *, num_beams, length_penalty, rep_pen, max_new,
+                prefix_fake_len, stop, base_seen):
+    """Independent HF-semantics beam search on raw per-step logits."""
+    def log_softmax(x):
+        m = x.max()
+        e = np.exp(x - m)
+        return (x - m) - np.log(e.sum())
+
+    seqs, scores = [[]], [0.0]
+    finished = []  # (norm_score, tokens, len)
+    s = 0
+    while s < max_new:
+        # early-stop heuristic (matches engine.decode_beam's rule)
+        if len(finished) >= num_beams:
+            top_fin = sorted(finished, key=lambda x: -x[0])[:num_beams]
+            worst_fin = top_fin[-1][0]
+            best_possible = max(scores) / (
+                max(prefix_fake_len + s, 1.0) ** length_penalty)
+            if worst_fin >= best_possible:
+                break
+        cands = []
+        for toks, sc in zip(seqs, scores):
+            logits = step_logits(toks)
+            seen = set(base_seen) | set(toks)
+            pl = logits.copy()
+            for t in seen:
+                pl[t] = pl[t] * rep_pen if pl[t] < 0 else pl[t] / rep_pen
+            logp = log_softmax(pl)
+            for t in np.argsort(-logp)[: 2 * num_beams]:
+                cands.append((sc + logp[t], toks, int(t)))
+        cands.sort(key=lambda c: -c[0])
+        cands = cands[: 2 * num_beams]
+        next_seqs, next_scores = [], []
+        for rank, (sc, toks, t) in enumerate(cands):
+            if t == stop:
+                if rank < num_beams:
+                    norm = max(prefix_fake_len + s, 1.0) ** length_penalty
+                    finished.append((sc / norm, list(toks), s))
+                continue
+            if len(next_seqs) < num_beams:
+                next_seqs.append(list(toks) + [t])
+                next_scores.append(sc)
+        seqs, scores = next_seqs, next_scores
+        s += 1
+    for toks, sc in zip(seqs, scores):
+        norm = max(prefix_fake_len + s, 1.0) ** length_penalty
+        finished.append((sc / norm, list(toks), s))
+    finished.sort(key=lambda x: -x[0])
+    return finished[0]
+
+
+@pytest.mark.parametrize("num_beams,length_penalty,rep_pen",
+                         [(2, 1.0, 1.0), (3, 1.8, 2.0), (3, 0.0, 1.0)])
+def test_decode_beam_matches_numpy_reference(model, num_beams,
+                                             length_penalty, rep_pen):
+    cfg, params, cond, text, text_len, prefix, valid = model
+    max_new = 12
+    prefix_fake_len = prefix.shape[1] + 1
+
+    nb = num_beams
+    prefix_t = jnp.broadcast_to(prefix, (nb,) + prefix.shape[1:])
+    valid_t = jnp.broadcast_to(valid, (nb, valid.shape[1]))
+    state = engine.init_state(cfg, prefix.shape[1], nb, cfg.heads,
+                              cfg.model_dim // cfg.heads, jax.random.key(0),
+                              cache_dtype=jnp.float32)
+    beam_jit = jax.jit(lambda p, st, pe, pv: engine.decode_beam(
+        p, cfg, st, pe, pv, max_new=max_new, num_beams=nb,
+        length_penalty=length_penalty, repetition_penalty=rep_pen,
+        prefix_fake_len=prefix_fake_len))
+    buf, n_tok = beam_jit(params, state, prefix_t, valid_t)
+    got = list(np.asarray(buf)[: int(n_tok)])
+    if got and got[-1] == cfg.stop_audio_token:
+        got = got[:-1]
+
+    step_logits = _make_step_logits(cfg, params, prefix, valid, max_new)
+    base_seen = {1, cfg.start_audio_token}
+    _, want, _ = _numpy_beam(
+        step_logits, num_beams=nb, length_penalty=length_penalty,
+        rep_pen=rep_pen, max_new=max_new, prefix_fake_len=prefix_fake_len,
+        stop=cfg.stop_audio_token, base_seen=base_seen)
+    assert got == want
+
+
+def test_pipeline_beam_surface(tmp_path_factory):
+    """generate_segment_codes(num_beams>1) runs end-to-end and returns a
+    deterministic token list (API surface of the reference inference)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from synthetic_bundle import write_bundle
+    from genvc_tpu.inference.pipeline import model_init
+
+    path = str(tmp_path_factory.mktemp("beam") / "tiny.pth")
+    write_bundle(path)
+    pipe = model_init(path)
+    pipe.gen_cap_tokens_per_code = 1.0
+    rng = np.random.default_rng(5)
+    src = (rng.standard_normal((1, 8000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    pipe._cond_latent = pipe.get_gpt_cond_latents(ref)
+    codes, n = pipe.extract_content_codes(src)
+    t1, _ = pipe.generate_segment_codes(codes, n, num_beams=3,
+                                        length_penalty=1.2)
+    t2, _ = pipe.generate_segment_codes(codes, n, num_beams=3,
+                                        length_penalty=1.2)
+    assert t1 == t2 and len(t1) > 0
+    assert all(0 <= t < pipe.gpt_cfg.num_audio_tokens for t in t1)

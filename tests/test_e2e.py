@@ -182,6 +182,88 @@ def test_stream_multiwindow_call_matches_single(pipe):
         pipe._build_jits()
 
 
+def test_first_window_seam_parity(pipe):
+    """The 4-token first window (latency path, VERDICT r2 item 3) must be
+    byte-identical to a standalone vocode of the first 4 latents, the decoded
+    tokens must not change vs the 8-cadence, and the full streaming output
+    must equal a simple serial [4, 8, 8, ...]-window vocode + crossfade
+    composition."""
+    from genvc_tpu.decode.engine import SamplerConfig
+    from genvc_tpu.inference.pipeline import _handle_chunk, CROSSFADE
+
+    old = pipe.sampler
+    pipe.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                 repetition_penalty=1.0, do_sample=False)
+    pipe._build_jits()
+    old_cap = pipe.gen_cap_tokens_per_code
+    pipe.gen_cap_tokens_per_code = 1.0
+    try:
+        rng = np.random.default_rng(23)
+        src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+        pipe._cond_latent = pipe.get_gpt_cond_latents(ref)
+
+        # reference tokens through the plain 8-cadence
+        codes, n = pipe.extract_content_codes(src)
+        toks_ref, _ = pipe.generate_segment_codes(codes, n)
+
+        # serial manual drive of the 4-then-8 cadence
+        seg = np.pad(src, ((0, 0), (0, pipe._seg_len_16k - src.shape[-1])))
+        state, tok0, lat0, _, _ = pipe._start_segment(seg, src.shape[-1])
+        c1 = pipe._stream_chunk_fn(pipe.gpt_params, pipe.hifigan_params,
+                                   state, 3, lat0[:, None, :], win=4)
+        toks = [int(tok0[0])] + [int(t) for t in np.asarray(c1[1])[0]]
+        # fused 4-window == standalone vocode of the same 4 latents
+        solo = pipe._vocode_fn(pipe.hifigan_params, c1[2][:, :4], 4)
+        np.testing.assert_allclose(np.asarray(c1[4])[0],
+                                   np.asarray(solo)[0], atol=1e-5)
+        all_lats = [np.asarray(c1[2])[0]]
+        cur = c1
+        max_new = pipe._max_new(n)
+        stop = pipe.gpt_cfg.stop_audio_token
+        while len(toks) < max_new and stop not in toks:
+            cur = pipe._stream_chunk_fn(
+                pipe.gpt_params, pipe.hifigan_params, cur[0], 8,
+                jnp.zeros((1, 0, pipe.gpt_cfg.model_dim), jnp.float32))
+            toks += [int(t) for t in np.asarray(cur[1])[0]]
+            all_lats.append(np.asarray(cur[2])[0])
+        # decoded tokens are cadence-independent
+        n_cmp = min(len(toks), len(toks_ref))
+        assert toks[:n_cmp] == toks_ref[:n_cmp]
+
+        # manual composition: windows [0:4), then 8s, EOS-trimmed remainder
+        # (the driver vocodes latents up to AND INCLUDING the stop token's,
+        # capped at max_new total)
+        lats = np.concatenate(all_lats, axis=0)
+        if stop in toks:
+            n_valid = min(toks.index(stop) + 1, max_new)
+        else:
+            n_valid = max_new
+        n_valid = max(n_valid, 1)
+        bounds = [0, 4]
+        while bounds[-1] < n_valid:
+            bounds.append(min(bounds[-1] + 8, n_valid))
+        overlap, parts = None, []
+        for a, b in zip(bounds, bounds[1:]):
+            if b - a == 4 and a == 0:
+                w = np.asarray(c1[4])[0]
+            else:
+                w = np.asarray(pipe._vocode_fn(
+                    pipe.hifigan_params,
+                    jnp.asarray(lats[None, a:b]), b - a))[0]
+            chunk, overlap = _handle_chunk(w, overlap, CROSSFADE)
+            parts.append(chunk)
+        manual = np.concatenate(parts, axis=-1)
+
+        got, _, _ = pipe.synthesize_streaming(src, ref, verbose=False)
+        assert got.shape == manual.shape
+        np.testing.assert_allclose(got, manual, atol=2e-4)
+    finally:
+        pipe.sampler = old
+        pipe.gen_cap_tokens_per_code = old_cap
+        pipe._build_jits()
+
+
 def test_synthesize_streaming_batch_matches_single(pipe):
     """Batched streaming must emit the same audio as B=1 streaming at greedy
     decoding (per-row EOS + crossfade parity; VERDICT r1 item 6)."""
