@@ -126,24 +126,41 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
-    # batched streaming serving: B concurrent streams on one chip (aggregate
-    # RTF; decode is HBM-bound gemv work so per-stream cost falls with B)
-    batch_b = int(os.environ.get("BENCH_BATCH", "4"))
+    # batched streaming serving scaling sweep: B concurrent streams on one
+    # chip (aggregate RTF = elapsed / total input audio; per-stream wall-clock
+    # RTF = aggregate * B). Decode is HBM-bound gemv work, so per-stream cost
+    # falls with B — streams/chip is the TPU throughput headline.
+    sweep = [int(b) for b in os.environ.get(
+        "BENCH_BATCH_SWEEP", "2,4,8,16").split(",") if b]
+    sweep_runs = int(os.environ.get("BENCH_BATCH_RUNS", "3"))
+    # B=1 seeds the table from the headline single-stream runs above
+    batch_scaling = {"1": {"rtf_aggregate": round(float(np.median(rtfs)), 4),
+                           "rtf_per_stream": round(float(np.median(rtfs)), 4)}}
     rtf_batch = None
-    if batch_b > 1:
+    for b in sweep:
         try:
-            srcs = [src] * batch_b
-            refs = [ref] * batch_b
+            srcs = [src] * b
+            refs = [ref] * b
             pipe.synthesize_streaming_batch(srcs, refs, verbose=False)  # compile
             runs = []
-            for _ in range(3):
+            for _ in range(sweep_runs):
                 _, _, agg = pipe.synthesize_streaming_batch(srcs, refs,
                                                             verbose=False)
                 runs.append(agg)
-            rtf_batch = float(np.median(runs))
+            agg_med = float(np.median(runs))
+            batch_scaling[str(b)] = {
+                "rtf_aggregate": round(agg_med, 4),
+                "rtf_per_stream": round(agg_med * b, 4),
+            }
+            if b == 4:
+                rtf_batch = agg_med
         except Exception as e:  # never let the serving extra kill the headline
-            print(f"batched-streaming bench skipped: {e}", file=sys.stderr)
-            rtf_batch = None
+            print(f"batched-streaming bench (B={b}) skipped: {e}",
+                  file=sys.stderr)
+    # max concurrent streams with every stream still real-time
+    rt = [int(b) for b, v in batch_scaling.items()
+          if v["rtf_per_stream"] < 1.0]
+    max_rt_streams = max(rt) if rt else None
 
     # the dev tunnel occasionally hiccups for hundreds of ms; the median is
     # the robust central tendency (min/max/avg all reported alongside)
@@ -166,7 +183,9 @@ def main():
         "ar_tokens_per_sec": round(float(np.mean(tok_rates)), 1),
         "rtf_batch_aggregate": (round(rtf_batch, 4)
                                 if rtf_batch is not None else None),
-        "batch_streams": batch_b if rtf_batch is not None else None,
+        "batch_streams": 4 if rtf_batch is not None else None,
+        "batch_scaling": batch_scaling or None,
+        "max_realtime_streams": max_rt_streams,
         "warmup_s": round(warmup_s, 1),
         # sub-phase breakdown of the worst-latency run (tail diagnostics):
         # host_prep -> first_dispatch -> first_fetch, all ms since call start

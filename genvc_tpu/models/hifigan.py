@@ -210,13 +210,16 @@ def merge_sn_buffers(dst, src):
     corresponding buffer in ``src`` (same tree structure). Used after an
     optimizer update to carry forward the power-iteration state computed in
     the loss forward — buffers are NOT optimizer-updated (their grads are
-    zero, but AdamW weight decay would otherwise corrupt them)."""
+    zero, but AdamW weight decay would otherwise corrupt them). ``src`` may
+    cover a subtree of ``dst`` (e.g. a family subset was run this step);
+    missing branches keep their existing buffers."""
     if isinstance(dst, dict):
         if "w_orig" in dst:
             out = dict(dst)
             out["u"], out["pv"] = src["u"], src["pv"]
             return out
-        return {k: merge_sn_buffers(dst[k], src[k]) for k in dst}
+        return {k: merge_sn_buffers(dst[k], src[k]) if k in src else dst[k]
+                for k in dst}
     if isinstance(dst, (list, tuple)):
         return type(dst)(merge_sn_buffers(a, b) for a, b in zip(dst, src))
     return dst

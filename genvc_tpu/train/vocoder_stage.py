@@ -208,7 +208,8 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                      cqt_statics, gen_tx, disc_tx, scale_factor: int = 4,
                      per_family: bool = False,
                      families_per_program: int | None = None,
-                     disc_dtype=None):
+                     disc_dtype=None,
+                     families: tuple[str, ...] | None = None):
     """Split-program variant of the GAN step (the fused single-program
     make_train_step can exceed compile-memory limits: the frozen GPT + 4
     discriminator families fwd+bwd in one XLA program is a ~50 MB MLIR
@@ -224,8 +225,12 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
     Returns (train_step, eval_step) with the same call signature as
     make_train_step.
     """
-    families = ("MSD_Discriminator", "MPD_Discriminator",
-                "MSTFT_Discriminator", "MSCQT_Discriminator")
+    # ``families`` restricts the discriminator set (default: all four, the
+    # reference recipe); subsets are for cheap structural dryruns (e.g. the
+    # virtual-mesh GAN-step dryrun keeps MSD+MPD — the two-optimizer +
+    # spectral-norm-buffer structure — without the STFT/CQT compile weight)
+    families = families or ("MSD_Discriminator", "MPD_Discriminator",
+                            "MSTFT_Discriminator", "MSCQT_Discriminator")
     fam_key = {"MSD_Discriminator": "msd", "MPD_Discriminator": "mpd",
                "MSTFT_Discriminator": "msstftd",
                "MSCQT_Discriminator": "mssbcqtd"}
