@@ -55,8 +55,15 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
-def cache_size(cfg: gpt_model.GPTConfig, prefix_width: int) -> int:
-    raw = prefix_width + 1 + cfg.max_gen_mel_tokens
+def cache_size(cfg: gpt_model.GPTConfig, prefix_width: int,
+               gen_tokens: int | None = None) -> int:
+    """Static KV-cache length: prefix + start_audio + generation capacity,
+    rounded up to a 128 multiple (TPU lane tiling). ``gen_tokens`` overrides
+    the architectural max (``cfg.max_gen_mel_tokens``) when the caller bounds
+    generation below it (serving caps): every decode step reads the whole
+    static cache, so right-sizing it is a direct HBM-bandwidth win."""
+    gen = cfg.max_gen_mel_tokens if gen_tokens is None else gen_tokens
+    raw = prefix_width + 1 + gen
     return int(np.ceil(raw / 128) * 128)
 
 
@@ -141,9 +148,9 @@ def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
 
 
 def init_state(cfg: gpt_model.GPTConfig, prefix_width: int, batch: int,
-               heads: int, head_dim: int, rng, cache_dtype=jnp.bfloat16
-               ) -> DecodeState:
-    t = cache_size(cfg, prefix_width)
+               heads: int, head_dim: int, rng, cache_dtype=jnp.bfloat16,
+               gen_tokens: int | None = None) -> DecodeState:
+    t = cache_size(cfg, prefix_width, gen_tokens)
     return DecodeState(
         cache_k=jnp.zeros((cfg.layers, batch, heads, t, head_dim), cache_dtype),
         cache_v=jnp.zeros((cfg.layers, batch, heads, t, head_dim), cache_dtype),

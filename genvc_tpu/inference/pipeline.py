@@ -90,6 +90,10 @@ class GenVCPipeline:
         # compute match a trained checkpoint (audio codes are ~1.875× content
         # codes: 23.44 Hz vs 12.5 Hz)
         self.gen_cap_tokens_per_code: float | None = None
+        # KV-cache generation capacity actually compiled in ("unset" until
+        # the first prefill trace; then None = architectural max or an int —
+        # see _cache_gen_tokens)
+        self._cache_gen_traced: int | None | str = "unset"
         # streaming calls kept in flight; raise when dispatch/fetch round-trip
         # latency is high relative to per-chunk compute (e.g. remote tunnels)
         self.pipeline_depth: int = 4
@@ -120,7 +124,45 @@ class GenVCPipeline:
             cap = max(8, int(n_codes * self.gen_cap_tokens_per_code))
             cap = int(np.ceil(cap / 16) * 16)  # bound decode_all recompiles
             max_new = min(max_new, cap)
+        traced = self._cache_gen_traced
+        if traced not in (None, "unset"):
+            # the KV cache was traced right-sized to the generation cap; a
+            # later cap increase would overflow it (writes clamp => silent
+            # corruption). Fail loudly instead.
+            limit = traced - STREAM_CHUNK * self.chunks_per_call
+            if max_new > limit:
+                raise ValueError(
+                    f"generation of {max_new} tokens exceeds the KV-cache "
+                    f"capacity ({limit}) this pipeline was compiled with "
+                    f"(gen_cap_tokens_per_code={self.gen_cap_tokens_per_code} "
+                    "was raised after the first synthesize call); rebuild the "
+                    "pipeline with the final cap")
         return max_new
+
+    def _cache_gen_tokens(self) -> int | None:
+        """Serving-sized KV-cache generation capacity (None = architectural
+        max, 602 slots). Every decode step reads the ENTIRE static cache
+        (L x B x H x T x hd), so its length sets the HBM floor of the AR
+        loop — at large serving batch the cache read dominates even the
+        weight stream. When a per-segment generation cap is active
+        (``gen_cap_tokens_per_code``), generation for a full 6 s segment is
+        bounded by the cap, so the cache only needs that worst case plus the
+        speculative-pipeline overshoot (one extra in-flight call of
+        ``STREAM_CHUNK * chunks_per_call`` decode steps) — 768 -> 384 slots
+        for the flagship, halving per-step cache traffic. Evaluated at jit
+        trace time and memoized so every program shares ONE cache geometry;
+        set the cap before the first synthesize call (``_max_new`` raises if
+        the cap is raised past the traced capacity afterwards)."""
+        if self._cache_gen_traced != "unset":
+            return self._cache_gen_traced
+        if self.gen_cap_tokens_per_code is None:
+            self._cache_gen_traced = None
+            return None
+        full_codes = self._host_n_codes(self._seg_len_16k)
+        slack = STREAM_CHUNK * self.chunks_per_call
+        self._cache_gen_traced = min(self.gpt_cfg.max_gen_mel_tokens,
+                                     self._max_new(full_codes) + slack)
+        return self._cache_gen_traced
 
     # ------------------------------------------------------------------ jits
 
@@ -163,7 +205,8 @@ class GenVCPipeline:
             state = engine.init_state(
                 gcfg, self._prefix_width, text_codes.shape[0], gcfg.heads,
                 gcfg.model_dim // gcfg.heads, rng,
-                cache_dtype=gpt_params["mel_embedding"].dtype)
+                cache_dtype=gpt_params["mel_embedding"].dtype,
+                gen_tokens=self._cache_gen_tokens())
             return engine.prefill(gpt_params, gcfg, state, prefix, valid,
                                   sampler)
 
@@ -283,7 +326,8 @@ class GenVCPipeline:
             state = engine.init_state(
                 gcfg, self._prefix_width, nb, gcfg.heads,
                 gcfg.model_dim // gcfg.heads, rng,
-                cache_dtype=gpt_params["mel_embedding"].dtype)
+                cache_dtype=gpt_params["mel_embedding"].dtype,
+                gen_tokens=self._cache_gen_tokens())
             return engine.decode_beam(
                 gpt_params, gcfg, state, prefix, valid, max_new, nb,
                 length_penalty=length_penalty,

@@ -325,3 +325,51 @@ def test_synthesize_batch(pipe):
         pipe.sampler = old
         pipe.gen_cap_tokens_per_code = old_cap
         pipe._build_jits()
+
+
+def test_right_sized_cache_parity(pipe):
+    """Serving-sized KV cache (gen cap set before first trace) must shrink
+    the static cache length and produce the same greedy streaming audio as
+    the architectural-size cache (engine.cache_size gen_tokens override;
+    pipeline._cache_gen_tokens)."""
+    from genvc_tpu.decode import engine
+    from genvc_tpu.decode.engine import SamplerConfig
+
+    old_sampler = pipe.sampler
+    old_cap = pipe.gen_cap_tokens_per_code
+    old_traced = pipe._cache_gen_traced
+    pipe.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                 repetition_penalty=1.0, do_sample=False)
+    pipe.gen_cap_tokens_per_code = 1.0
+    rng = np.random.default_rng(17)
+    src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    try:
+        # architectural-size cache (force the full geometry)
+        pipe._cache_gen_traced = None
+        pipe._build_jits()
+        wav_full, _, _ = pipe.synthesize_streaming(src, ref, verbose=False)
+
+        # right-sized cache: re-trace with the memo unset so the cap sizes it
+        pipe._cache_gen_traced = "unset"
+        pipe._build_jits()
+        wav_small, _, _ = pipe.synthesize_streaming(src, ref, verbose=False)
+
+        traced = pipe._cache_gen_traced
+        assert isinstance(traced, int)
+        t_small = engine.cache_size(pipe.gpt_cfg, pipe._prefix_width, traced)
+        t_full = engine.cache_size(pipe.gpt_cfg, pipe._prefix_width)
+        assert t_small < t_full, (t_small, t_full)
+        assert wav_small.shape == wav_full.shape
+        np.testing.assert_allclose(wav_small, wav_full, atol=2e-4)
+
+        # raising the cap past the compiled capacity must fail loudly, not
+        # silently clamp cache writes
+        pipe.gen_cap_tokens_per_code = None
+        with pytest.raises(ValueError, match="KV-cache"):
+            pipe._max_new(pipe._host_n_codes(pipe._seg_len_16k))
+    finally:
+        pipe.sampler = old_sampler
+        pipe.gen_cap_tokens_per_code = old_cap
+        pipe._cache_gen_traced = old_traced
+        pipe._build_jits()
