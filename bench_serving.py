@@ -1,0 +1,116 @@
+"""Benchmark: continuous-batching serving throughput on one TPU chip.
+
+Protocol: submit ``BENCH_STREAMS`` (default 16) copies of the 6 s sample
+utterance into a ``BENCH_SLOTS``-slot (default 8) StreamServer at t=0 and
+drain. Streams beyond the slot count queue and are admitted as slots retire,
+so the run exercises steady-state pool occupancy AND dynamic admission (the
+lockstep ``synthesize_streaming_batch`` API cannot represent this load).
+
+Reported (one JSON line):
+* aggregate_rtf      — wall / total source audio across all streams
+* streams_realtime   — concurrent streams the pool sustains with every
+                       stream real-time at the measured pool rate
+* admission_latency  — submit -> first audio on a warm idle server (cond
+                       latents + segment prefill + pool ticks; the SLO
+                       number, measured separately from the load test)
+* per-stream rtf p50/p95 over ALL streams (includes queue wait for the
+  second wave — the serving-level number)
+
+Uses the same flagship random-weight pipeline as bench.py (identical compute
+to a trained checkpoint; generation capped at the trained audio/content
+ratio, which also right-sizes the KV cache).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/genvc_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from bench import build_random_pipeline, load_bench_audio
+    from genvc_tpu.serving.server import StreamServer
+
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
+        else jnp.float32
+    pipe = build_random_pipeline(dtype)
+    pipe.first_chunk_tokens = 8  # server cadence is the 8-token window
+    src, ref = load_bench_audio(pipe)
+
+    slots = int(os.environ.get("BENCH_SLOTS", "8"))
+    n_streams = int(os.environ.get("BENCH_STREAMS", "16"))
+
+    # compile warmup: one full drain of a single stream through the pool
+    server = StreamServer(pipe, slots=slots)
+    server.submit(src, ref)
+    server.drain()
+
+    # --- admission latency: a stream submitted to a warm, idle server
+    # (cond latents + segment prefill + pool ticks to first audio; the
+    # serving SLO number — queue wait excluded by construction)
+    lat_runs = []
+    for _ in range(5):
+        server = StreamServer(pipe, slots=slots)
+        sid = server.submit(src, ref)
+        server.drain()
+        lat_runs.append(server.result(sid)[1]["latency_s"])
+
+    # --- throughput: n_streams submitted at t=0 into a fresh server; wall
+    # includes the per-stream cond/prefill dispatches and queue waits for
+    # the streams beyond the slot count (real serving cost)
+    server = StreamServer(pipe, slots=slots)
+    t0 = time.perf_counter()
+    sids = [server.submit(src, ref) for _ in range(n_streams)]
+    server.drain()
+    wall = time.perf_counter() - t0
+
+    audio_s = n_streams * src.shape[-1] / pipe.content_sample_rate
+    stats = [server.result(sid)[1] for sid in sids]
+    rtfs = sorted(s["rtf"] for s in stats)
+    agg = wall / audio_s
+    # pool-sustained per-stream RTF: every slot processes audio at
+    # (aggregate * slots) when the pool is full
+    per_stream_pool = agg * slots
+
+    result = {
+        "metric": "serving_aggregate_rtf",
+        "value": round(agg, 4),
+        "unit": "ratio",
+        "vs_baseline": round(0.28 / agg, 2),  # vs single-stream H100 RTF
+        "slots": slots,
+        "streams": n_streams,
+        "wall_s": round(wall, 2),
+        "audio_s": round(audio_s, 1),
+        "per_stream_pool_rtf": round(per_stream_pool, 4),
+        # concurrent streams sustainable with each stream real-time at the
+        # measured pool rate (slots when the full pool is itself real-time)
+        "streams_realtime": (slots if per_stream_pool < 1.0
+                             else int(slots / per_stream_pool)),
+        "admission_latency_ms_median": round(
+            1000 * float(np.median(lat_runs)), 1),
+        "admission_latency_ms_max": round(1000 * float(max(lat_runs)), 1),
+        "stream_rtf_p50": round(float(np.percentile(rtfs, 50)), 4),
+        "stream_rtf_p95": round(float(np.percentile(rtfs, 95)), 4),
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

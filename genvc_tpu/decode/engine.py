@@ -47,8 +47,11 @@ class DecodeState(NamedTuple):
     cache_k: jnp.ndarray      # (L, B, H, T, hd)
     cache_v: jnp.ndarray      # (L, B, H, T, hd)
     key_valid: jnp.ndarray    # (B, T) bool — filled & unmasked cache slots
-    cur_index: jnp.ndarray    # () int32 — next cache slot to write
-    n_generated: jnp.ndarray  # () int32 — number of audio tokens sampled
+    cur_index: jnp.ndarray    # () int32 — next cache slot to write; (B,) in
+                              # per-row mode (continuous-batching slot pools,
+                              # where rows sit at different decode depths)
+    n_generated: jnp.ndarray  # () int32 — number of audio tokens sampled;
+                              # (B,) in per-row mode
     last_token: jnp.ndarray   # (B,) int32
     seen: jnp.ndarray         # (B, V) bool — repetition-penalty state
     finished: jnp.ndarray     # (B,) bool
@@ -69,7 +72,12 @@ def cache_size(cfg: gpt_model.GPTConfig, prefix_width: int,
 
 def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
                    heads):
-    """One block forward for a single token, reading/writing the cache."""
+    """One block forward for a single token, reading/writing the cache.
+
+    ``cur_index`` scalar: all rows write the same cache slot (lockstep decode;
+    one cheap ``dynamic_update_slice``). ``cur_index`` (B,): per-row write
+    positions (continuous-batching pools; lowers to a scatter — the write is
+    B*H*hd elements per layer, negligible next to the full-cache read)."""
     x = nn.layer_norm(bp["ln_1"], h)
     qkv = nn.linear(bp["attn"]["c_attn"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -79,10 +87,19 @@ def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
     k = k.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, 1, heads, hd).transpose(0, 2, 1, 3)
 
-    state_k = jax.lax.dynamic_update_slice(
-        state_k, k.astype(state_k.dtype)[None], (layer_idx, 0, 0, cur_index, 0))
-    state_v = jax.lax.dynamic_update_slice(
-        state_v, v.astype(state_v.dtype)[None], (layer_idx, 0, 0, cur_index, 0))
+    if cur_index.ndim == 0:
+        state_k = jax.lax.dynamic_update_slice(
+            state_k, k.astype(state_k.dtype)[None],
+            (layer_idx, 0, 0, cur_index, 0))
+        state_v = jax.lax.dynamic_update_slice(
+            state_v, v.astype(state_v.dtype)[None],
+            (layer_idx, 0, 0, cur_index, 0))
+    else:
+        rows = jnp.arange(b)
+        state_k = state_k.at[layer_idx, rows, :, cur_index, :].set(
+            k[:, :, 0, :].astype(state_k.dtype))
+        state_v = state_v.at[layer_idx, rows, :, cur_index, :].set(
+            v[:, :, 0, :].astype(state_v.dtype))
 
     ck = jax.lax.dynamic_index_in_dim(state_k, layer_idx, 0, keepdims=False)
     cv = jax.lax.dynamic_index_in_dim(state_v, layer_idx, 0, keepdims=False)
@@ -101,10 +118,14 @@ def _decode_forward(params, cfg, state: DecodeState):
     Returns (cache_k, cache_v, key_valid, latent, logits)."""
     compute_dtype = params["mel_embedding"].dtype
     tok_emb = params["mel_embedding"][state.last_token]
-    pos_emb = params["mel_pos"][state.n_generated]
+    pos_emb = params["mel_pos"][state.n_generated]  # (D,) or per-row (B, D)
     h = (tok_emb + pos_emb)[:, None, :].astype(compute_dtype)
 
-    key_valid = state.key_valid.at[:, state.cur_index].set(True)
+    if state.cur_index.ndim == 0:
+        key_valid = state.key_valid.at[:, state.cur_index].set(True)
+    else:
+        rows = jnp.arange(state.key_valid.shape[0])
+        key_valid = state.key_valid.at[rows, state.cur_index].set(True)
 
     def body(carry, bp_with_idx):
         h, ck, cv, idx = carry
@@ -149,14 +170,16 @@ def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
 
 def init_state(cfg: gpt_model.GPTConfig, prefix_width: int, batch: int,
                heads: int, head_dim: int, rng, cache_dtype=jnp.bfloat16,
-               gen_tokens: int | None = None) -> DecodeState:
+               gen_tokens: int | None = None,
+               per_row: bool = False) -> DecodeState:
     t = cache_size(cfg, prefix_width, gen_tokens)
+    idx0 = (jnp.zeros((batch,), jnp.int32) if per_row else jnp.int32(0))
     return DecodeState(
         cache_k=jnp.zeros((cfg.layers, batch, heads, t, head_dim), cache_dtype),
         cache_v=jnp.zeros((cfg.layers, batch, heads, t, head_dim), cache_dtype),
         key_valid=jnp.zeros((batch, t), bool),
-        cur_index=jnp.int32(0),
-        n_generated=jnp.int32(0),
+        cur_index=idx0,
+        n_generated=idx0,
         last_token=jnp.full((batch,), cfg.start_audio_token, jnp.int32),
         seen=sampling.init_seen(cfg.num_audio_tokens, batch,
                                 start_audio_token=cfg.start_audio_token),
@@ -212,9 +235,10 @@ def prefill_logits(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     latent = nn.layer_norm(params["final_norm"], h[:, -1]).astype(jnp.float32)
     logits = nn.linear(params["mel_head"], latent)
 
+    idx = jnp.full_like(state.cur_index, p + 1)  # scalar or per-row vector
     filled = DecodeState(
         cache_k=cache_k, cache_v=cache_v, key_valid=key_valid,
-        cur_index=jnp.int32(p + 1), n_generated=jnp.int32(0),
+        cur_index=idx, n_generated=jnp.zeros_like(state.n_generated),
         last_token=state.last_token, seen=state.seen,
         finished=state.finished, rng=state.rng)
     return filled, latent, logits
@@ -246,7 +270,8 @@ def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     new_state = DecodeState(
         cache_k=filled.cache_k, cache_v=filled.cache_v,
         key_valid=filled.key_valid, cur_index=filled.cur_index,
-        n_generated=jnp.int32(1), last_token=first_token, seen=seen,
+        n_generated=jnp.full_like(filled.n_generated, 1),
+        last_token=first_token, seen=seen,
         finished=finished, rng=rng)
     return new_state, first_token, latent
 
@@ -274,6 +299,35 @@ def decode_chunk(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     return state, tokens, latents, pre_finished
 
 
+def insert_row(pool: DecodeState, row: DecodeState, slot) -> DecodeState:
+    """Continuous-batching admission: write a single-row decode state
+    (B=1, per-row positions — e.g. a fresh segment prefill) into ``slot`` of
+    a per-row pool state. Only that row's cache/positions/sampling state are
+    touched; the pool keeps its own rng. ``slot`` may be a traced scalar, so
+    one compiled program serves every slot."""
+    z = jnp.int32(0)
+    s = jnp.asarray(slot, jnp.int32)
+    return DecodeState(
+        cache_k=jax.lax.dynamic_update_slice(
+            pool.cache_k, row.cache_k.astype(pool.cache_k.dtype),
+            (z, s, z, z, z)),
+        cache_v=jax.lax.dynamic_update_slice(
+            pool.cache_v, row.cache_v.astype(pool.cache_v.dtype),
+            (z, s, z, z, z)),
+        key_valid=jax.lax.dynamic_update_slice(pool.key_valid, row.key_valid,
+                                               (s, z)),
+        cur_index=jax.lax.dynamic_update_slice(pool.cur_index, row.cur_index,
+                                               (s,)),
+        n_generated=jax.lax.dynamic_update_slice(pool.n_generated,
+                                                 row.n_generated, (s,)),
+        last_token=jax.lax.dynamic_update_slice(pool.last_token,
+                                                row.last_token, (s,)),
+        seen=jax.lax.dynamic_update_slice(pool.seen, row.seen, (s, z)),
+        finished=jax.lax.dynamic_update_slice(pool.finished, row.finished,
+                                              (s,)),
+        rng=pool.rng)
+
+
 def decode_all(params, cfg: gpt_model.GPTConfig, state: DecodeState,
                sampler: SamplerConfig, max_new: int):
     """Generate until every row is finished or ``max_new`` tokens, entirely on
@@ -284,6 +338,10 @@ def decode_all(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     Returns (state, tokens (B, max_new), n_generated (B,)) where tokens beyond
     each row's stop token are stop-padded.
     """
+    if state.n_generated.ndim != 0:
+        raise ValueError("decode_all is a lockstep-decode driver; per-row "
+                         "position states belong to decode_chunk pools "
+                         "(serving.StreamServer)")
     b = state.last_token.shape[0]
     buf = jnp.full((b, max_new), cfg.stop_audio_token, jnp.int32)
     buf = buf.at[:, 0].set(state.last_token)

@@ -167,6 +167,9 @@ class GenVCPipeline:
     # ------------------------------------------------------------------ jits
 
     def _build_jits(self):
+        # serving jits (serving.server) close over the programs built here
+        # and the current sampler — invalidate their cache
+        self._serving_jit_cache = None
         gcfg = self.gpt_cfg
         style_spec = self.style_spec
         mel_norms = self.mel_norms

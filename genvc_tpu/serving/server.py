@@ -1,0 +1,323 @@
+"""Continuous-batching streaming VC server: a fixed pool of decode slots on
+one chip, with streams admitted and retired at 8-token tick boundaries.
+
+The reference has no serving layer — one stream per process
+(/root/reference/inference/inference_utils.py:136-217). This is TPU capacity
+surface beyond the reference: the lockstep batch API
+(``GenVCPipeline.synthesize_streaming_batch``) requires all streams to start
+together and stalls every row on the slowest row's segment round; the server
+instead keeps a ``slots``-row decode pool always ticking, admits a new
+stream the moment a slot frees (per-row KV-cache insertion,
+``decode.engine.insert_row``), and retires each stream independently. Decode
+is HBM-bound gemv work, so pooled rows share each step's weight stream —
+per-stream cost falls with pool occupancy exactly as in the lockstep sweep,
+but without the barrier.
+
+Per-stream audio semantics are identical to
+``GenVCPipeline.synthesize_streaming`` with ``first_chunk_tokens=8`` (the
+8-token reference cadence; parity test
+``tests/test_serving.py::test_server_matches_single_stream``): same 8-token
+windows, same EOS/cap remainder vocoding, same 1024-sample crossfade
+assembly, same multi-segment progression.
+
+Engine mechanics: pool rows sit at different decode depths, so the pool's
+``DecodeState`` uses per-row cache positions (``init_state(per_row=True)``);
+admission runs a single-row segment prefill and writes it into a slot with
+one jitted ``insert_row`` dispatch. Every tick is ONE device call: 8 decode
+steps + the completed 8-latent window vocoded for all rows
+(``stream_chunk_batch_fn``), with device->host copies started at dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genvc_tpu.decode import engine
+from genvc_tpu.inference.pipeline import (CROSSFADE, STREAM_CHUNK, TEXT_WIDTH,
+                                          _handle_chunk)
+from genvc_tpu.models import gpt as gpt_model
+
+
+@dataclasses.dataclass
+class _Stream:
+    sid: int
+    segments: list                 # [(padded_seg_16k, t_real), ...]
+    cond: jnp.ndarray              # (1, 32, D) speaker latent (device)
+    submit_t: float
+    audio_samples: int             # true source length (16 kHz samples)
+    seg_idx: int = 0
+    n_total: int = 0               # tokens incl. prefill token, this segment
+    max_new: int = 0
+    first_tick: bool = True
+    chunks: list = dataclasses.field(default_factory=list)
+    overlap: np.ndarray | None = None
+    latency: float | None = None
+    done_t: float | None = None
+
+
+def _serving_jits(pipe):
+    """Build (or fetch the cached) jitted admission programs for ``pipe``:
+    a single-row per-row-position segment prefill and the slot insertion.
+    Cached on the pipe so repeated StreamServer construction costs no
+    retrace; ``GenVCPipeline._build_jits`` clears the cache (sampler or
+    program changes)."""
+    cached = getattr(pipe, "_serving_jit_cache", None)
+    if cached is not None:
+        return cached
+
+    gcfg = pipe.gpt_cfg
+    sampler = pipe.sampler
+    cache_dtype = pipe.gpt_params["mel_embedding"].dtype
+
+    @jax.jit
+    def row_prefill(cv_params, cd_params, gpt_params, cond, seg16k,
+                    sample_valid, rng):
+        """Single-row segment prefill with per-row cache positions — the
+        admission payload for ``insert_row``."""
+        codes, n_codes = pipe._content_fn(cv_params, cd_params, seg16k,
+                                          sample_valid)
+        codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
+        prefix, valid = gpt_model.build_prefix_emb(
+            gpt_params, gcfg, cond, codes, n_codes.astype(jnp.int32))
+        state = engine.init_state(
+            gcfg, pipe._prefix_width, 1, gcfg.heads,
+            gcfg.model_dim // gcfg.heads, rng, cache_dtype=cache_dtype,
+            gen_tokens=pipe._cache_gen_tokens(), per_row=True)
+        return engine.prefill(gpt_params, gcfg, state, prefix, valid,
+                              sampler)
+
+    @jax.jit
+    def insert_fn(pool, row, slot, carry, lat0):
+        """Admit a prefilled row into ``slot``: cache insertion + its
+        prefill latent becomes the slot's window carry."""
+        new_pool = engine.insert_row(pool, row, slot)
+        carry = jax.lax.dynamic_update_slice(
+            carry, lat0[:, None, :].astype(carry.dtype),
+            (jnp.asarray(slot, jnp.int32), jnp.int32(0), jnp.int32(0)))
+        return new_pool, carry
+
+    pipe._serving_jit_cache = (row_prefill, insert_fn)
+    return pipe._serving_jit_cache
+
+
+class StreamServer:
+    """Slot-pool server over a built ``GenVCPipeline``.
+
+    Usage::
+
+        server = StreamServer(pipe, slots=8)
+        sid = server.submit(src_wav, ref_audio)   # any time
+        server.step()                             # admit + one 8-token tick
+        ...
+        server.drain()                            # run until all streams done
+        wav, stats = server.result(sid)
+    """
+
+    def __init__(self, pipe, slots: int = 8, depth: int = 2):
+        self.pipe = pipe
+        self.slots = int(slots)
+        # ticks kept in flight (double buffering): the host processes tick N
+        # while tick N+1 computes on device, hiding the dispatch/fetch round
+        # trip. A row admitted while ticks are in flight simply has its stale
+        # in-flight data skipped (per-slot epoch counters) — it costs up to
+        # depth-1 wasted row-ticks per admission, nothing in correctness.
+        # depth=1 = fully synchronous (lowest admission latency).
+        self.depth = max(1, int(depth))
+        self._queue: deque[_Stream] = deque()
+        self._slot_map: dict[int, _Stream] = {}
+        self._free = list(range(self.slots))
+        self._results: dict[int, tuple[np.ndarray, dict]] = {}
+        self._next_sid = 0
+        self._inflight: deque = deque()   # (tick result, epoch snapshot)
+        self._slot_epoch = [0] * self.slots
+
+        gcfg = pipe.gpt_cfg
+        cache_dtype = pipe.gpt_params["mel_embedding"].dtype
+
+        self._pool = engine.init_state(
+            gcfg, pipe._prefix_width, self.slots, gcfg.heads,
+            gcfg.model_dim // gcfg.heads, pipe._next_rng(),
+            cache_dtype=cache_dtype, gen_tokens=pipe._cache_gen_tokens(),
+            per_row=True)
+        self._carry = jnp.zeros((self.slots, 1, gcfg.model_dim), jnp.float32)
+        # the serving jits are cached on the pipeline (one trace per pipe,
+        # shared by every server instance; pipe._build_jits invalidates)
+        self._row_prefill, self._insert_fn = _serving_jits(pipe)
+
+    # ------------------------------------------------------------- submit
+
+    def submit(self, src_wav: np.ndarray, ref_audio: np.ndarray) -> int:
+        """Register a stream (any time). The reference conditioning latent is
+        computed immediately (one dispatch); decoding starts when a slot
+        frees at the next ``step``."""
+        sid = self._next_sid
+        self._next_sid += 1
+        stream = _Stream(
+            sid=sid,
+            segments=list(self.pipe._segments(src_wav)),
+            cond=self.pipe.get_gpt_cond_latents(ref_audio),
+            submit_t=time.perf_counter(),
+            audio_samples=int(src_wav.shape[-1]))
+        if not stream.segments:  # zero-length source: retire immediately
+            self._results[sid] = (np.zeros((0,), np.float32), {
+                "latency_s": None, "wall_s": 0.0, "audio_s": 0.0,
+                "rtf": None})
+            return sid
+        self._queue.append(stream)
+        return sid
+
+    # ---------------------------------------------------------- admission
+
+    def _start_segment(self, stream: _Stream, slot: int):
+        pipe = self.pipe
+        seg, t_real = stream.segments[stream.seg_idx]
+        row, tok0, lat0 = self._row_prefill(
+            pipe.contentvec_params, pipe.content_dvae_params, pipe.gpt_params,
+            stream.cond, jnp.asarray(pipe._pcm16(seg)),
+            jnp.asarray([t_real], jnp.int32), pipe._next_rng())
+        self._pool, self._carry = self._insert_fn(
+            self._pool, row, jnp.int32(slot), self._carry, lat0)
+        self._slot_epoch[slot] += 1  # in-flight ticks for this slot are stale
+        stream.n_total = 1
+        stream.first_tick = True
+        stream.max_new = pipe._max_new(pipe._host_n_codes(t_real))
+
+    def _admit(self):
+        while self._queue and self._free:
+            slot = self._free.pop(0)
+            stream = self._queue.popleft()
+            self._slot_map[slot] = stream
+            self._start_segment(stream, slot)
+
+    # -------------------------------------------------------------- ticks
+
+    def _dispatch_tick(self):
+        pipe = self.pipe
+        k = STREAM_CHUNK
+        res = pipe._stream_chunk_batch_fn(
+            pipe.gpt_params, pipe.hifigan_params, self._pool, k, self._carry,
+            win=k)
+        st, toks, all_lats, pre_fin, wavs = res
+        self._pool = st
+        self._carry = all_lats[:, k : k + 1]
+        try:
+            toks.copy_to_host_async()
+            pre_fin.copy_to_host_async()
+            wavs.copy_to_host_async()
+        except Exception:
+            pass
+        self._inflight.append((res, list(self._slot_epoch)))
+
+    def step(self) -> bool:
+        """Admit pending streams, keep ``depth`` 8-token pool ticks in
+        flight, and process the oldest tick's results (one device fetch).
+        Returns False when the pool is idle and the queue empty."""
+        self._admit()
+        if not self._slot_map and not self._inflight:
+            return False
+        while self._slot_map and len(self._inflight) < self.depth:
+            self._dispatch_tick()
+        if not self._inflight:
+            return False
+        (st, toks, all_lats, pre_fin, wavs), epochs = \
+            self._inflight.popleft()
+        toks_np, pre_fin_np, wavs_np = jax.device_get((toks, pre_fin, wavs))
+
+        pipe = self.pipe
+        k = STREAM_CHUNK
+        stop = pipe.gpt_cfg.stop_audio_token
+        for slot in sorted(self._slot_map):
+            if epochs[slot] != self._slot_epoch[slot]:
+                # this tick was dispatched before the slot's current stream/
+                # segment was inserted — its row data belongs to the previous
+                # occupant (already finalized); skip
+                continue
+            s = self._slot_map[slot]
+            seg_done = False
+            if s.first_tick and bool(pre_fin_np[slot, 0]):
+                # EOS at the prefill-sampled token: vocode just its latent
+                # (reference behavior; pipeline._synthesize_streaming)
+                wav = pipe._vocode_fn(pipe.hifigan_params,
+                                      all_lats[slot : slot + 1, 0:1], 1)
+                self._emit(s, np.asarray(wav)[0])
+                seg_done = True
+            else:
+                row_toks = toks_np[slot]
+                eos_j = None
+                for j, t in enumerate(row_toks):
+                    if s.n_total + j + 1 > s.max_new:
+                        eos_j = j - 1
+                        break
+                    if t == stop:
+                        eos_j = j
+                        break
+                if eos_j is None and s.n_total + k >= s.max_new:
+                    eos_j = k - 1
+                n_lat_valid = 1 + (k if eos_j is None else eos_j + 1)
+                full = n_lat_valid // k
+                if full >= 1:
+                    self._emit(s, wavs_np[slot, 0])
+                rem = n_lat_valid - full * k
+                if eos_j is not None:
+                    if rem > 0:
+                        wav = pipe._vocode_fn(
+                            pipe.hifigan_params,
+                            all_lats[slot : slot + 1,
+                                     full * k : full * k + rem], rem)
+                        self._emit(s, np.asarray(wav)[0])
+                    seg_done = True
+                else:
+                    s.n_total += k
+            s.first_tick = False
+            if seg_done:
+                self._advance(s, slot)
+        return True
+
+    def _emit(self, s: _Stream, wav_window: np.ndarray):
+        chunk, s.overlap = _handle_chunk(np.asarray(wav_window), s.overlap,
+                                         CROSSFADE)
+        s.chunks.append(chunk)
+        if s.latency is None:
+            s.latency = time.perf_counter() - s.submit_t
+
+    def _advance(self, s: _Stream, slot: int):
+        s.seg_idx += 1
+        if s.seg_idx < len(s.segments):
+            self._start_segment(s, slot)
+            return
+        # retire
+        s.done_t = time.perf_counter()
+        wav = (np.concatenate(s.chunks, axis=-1) if s.chunks
+               else np.zeros((0,), np.float32))
+        wall = s.done_t - s.submit_t
+        audio_s = s.audio_samples / self.pipe.content_sample_rate
+        self._results[s.sid] = (wav, {
+            "latency_s": s.latency,
+            "wall_s": wall,
+            "audio_s": audio_s,
+            "rtf": wall / audio_s if audio_s > 0 else None,
+        })
+        del self._slot_map[slot]
+        self._free.append(slot)
+        self._free.sort()
+
+    # ------------------------------------------------------------ results
+
+    def drain(self):
+        """Run ticks until every submitted stream has retired."""
+        while self.step():
+            pass
+
+    def finished(self, sid: int) -> bool:
+        return sid in self._results
+
+    def result(self, sid: int):
+        """(wav, stats) for a finished stream; stats: latency_s (submit ->
+        first audio), wall_s, audio_s, rtf (wall/audio incl. queue wait)."""
+        return self._results[sid]

@@ -1,0 +1,137 @@
+"""Continuous-batching StreamServer tests (CPU, tiny synthetic bundle).
+
+The server must reproduce ``synthesize_streaming`` (8-token cadence) audio
+per stream while admitting/retiring streams dynamically in a fixed slot
+pool — including a stream that arrives mid-flight and one that spans a
+segment boundary inside its slot.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    from synthetic_bundle import write_bundle
+    from genvc_tpu.inference.pipeline import model_init
+    from genvc_tpu.decode.engine import SamplerConfig
+
+    path = str(tmp_path_factory.mktemp("bundle") / "tiny_genvc.pth")
+    write_bundle(path)
+    p = model_init(path)
+    # greedy + capped BEFORE the first trace (the cap also right-sizes the
+    # KV cache; the server pool shares that geometry)
+    p.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                              repetition_penalty=1.0, do_sample=False)
+    p.gen_cap_tokens_per_code = 1.0
+    p.first_chunk_tokens = 8  # server cadence is the 8-token reference window
+    p._build_jits()
+    return p
+
+
+def test_insert_row_isolation():
+    """insert_row must replace exactly one slot's state and positions."""
+    from genvc_tpu.decode import engine
+    from genvc_tpu.models.gpt import GPTConfig
+
+    cfg = GPTConfig(layers=2, model_dim=16, heads=2)
+    pool = engine.init_state(cfg, 8, 3, 2, 8, jax.random.key(0),
+                             cache_dtype=jnp.float32, gen_tokens=8,
+                             per_row=True)
+    pool = pool._replace(cache_k=jnp.ones_like(pool.cache_k),
+                         last_token=jnp.array([7, 7, 7], jnp.int32))
+    row = engine.init_state(cfg, 8, 1, 2, 8, jax.random.key(1),
+                            cache_dtype=jnp.float32, gen_tokens=8,
+                            per_row=True)
+    row = row._replace(cache_k=jnp.full_like(row.cache_k, 2.0),
+                       cur_index=jnp.array([5], jnp.int32),
+                       last_token=jnp.array([3], jnp.int32))
+    out = engine.insert_row(pool, row, 1)
+    ck = np.asarray(out.cache_k)
+    assert np.all(ck[:, 1] == 2.0)
+    assert np.all(ck[:, 0] == 1.0) and np.all(ck[:, 2] == 1.0)
+    assert np.asarray(out.cur_index).tolist() == [0, 5, 0]
+    assert np.asarray(out.last_token).tolist() == [7, 3, 7]
+
+
+def test_per_row_decode_matches_lockstep():
+    """A per-row-position pool whose rows happen to be aligned must decode
+    exactly like the scalar-position lockstep state (same cache, same
+    tokens)."""
+    from genvc_tpu.decode import engine
+    from genvc_tpu.models import gpt as gpt_model
+
+    cfg = gpt_model.GPTConfig(layers=2, model_dim=32, heads=2,
+                              num_audio_tokens=40, number_text_tokens=20,
+                              start_audio_token=38, stop_audio_token=39)
+    params = gpt_model.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    b, p = 2, 12
+    prefix = jnp.asarray(rng.standard_normal((b, p, 32)), jnp.float32)
+    valid = jnp.ones((b, p), bool)
+    sampler = engine.SamplerConfig(do_sample=False, top_k=1,
+                                   repetition_penalty=1.0, temperature=1.0)
+
+    outs = {}
+    for per_row in (False, True):
+        st = engine.init_state(cfg, p, b, 2, 16, jax.random.key(1),
+                               cache_dtype=jnp.float32, gen_tokens=16,
+                               per_row=per_row)
+        st, tok0, _ = engine.prefill(params, cfg, st, prefix, valid, sampler)
+        st, toks, lats, fin = engine.decode_chunk(params, cfg, st, sampler,
+                                                  chunk=6)
+        outs[per_row] = (np.asarray(tok0), np.asarray(toks), np.asarray(lats))
+    assert np.array_equal(outs[False][0], outs[True][0])
+    assert np.array_equal(outs[False][1], outs[True][1])
+    np.testing.assert_allclose(outs[False][2], outs[True][2], atol=1e-5)
+
+
+def test_server_matches_single_stream(pipe):
+    """Three streams — two admitted at start, one arriving mid-flight into a
+    2-slot pool — must each produce the same greedy audio as a standalone
+    synthesize_streaming run."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(23)
+    srcs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (16000, 24000, 9000)]
+    refs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (24000, 30000, 24000)]
+    singles = [pipe.synthesize_streaming(s, r, verbose=False)[0]
+               for s, r in zip(srcs, refs)]
+
+    server = StreamServer(pipe, slots=2)
+    sids = [server.submit(srcs[0], refs[0]),
+            server.submit(srcs[1], refs[1])]
+    assert server.step()          # both admitted; first tick
+    sids.append(server.submit(srcs[2], refs[2]))  # arrives mid-flight
+    server.drain()
+
+    for sid, want in zip(sids, singles):
+        assert server.finished(sid)
+        got, stats = server.result(sid)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+        assert stats["latency_s"] > 0
+        assert stats["rtf"] and stats["rtf"] > 0
+
+
+def test_server_multi_segment_stream(pipe):
+    """A source longer than one 6 s segment advances segments inside its
+    slot (re-prefill + insert) and still matches the single-stream driver."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(29)
+    src = (rng.standard_normal((1, 100000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    want, _, _ = pipe.synthesize_streaming(src, ref, verbose=False)
+
+    server = StreamServer(pipe, slots=2)
+    sid = server.submit(src, ref)
+    server.drain()
+    got, stats = server.result(sid)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
