@@ -162,6 +162,38 @@ def main():
           if v["rtf_per_stream"] < 1.0]
     max_rt_streams = max(rt) if rt else None
 
+    # continuous-batching serving (StreamServer): dynamic admission into a
+    # fixed decode slot pool — barrier-free steady ticks sustain more
+    # real-time streams than the lockstep rounds above (bench_serving.py has
+    # the full load-test protocol)
+    serving = None
+    try:
+        from genvc_tpu.serving.server import StreamServer
+
+        s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
+        s_streams = int(os.environ.get("BENCH_SERVE_STREAMS", "32"))
+        server = StreamServer(pipe, slots=s_slots)
+        server.submit(src, ref)
+        server.drain()  # compile
+        server = StreamServer(pipe, slots=s_slots)
+        t0 = time.perf_counter()
+        sids = [server.submit(src, ref) for _ in range(s_streams)]
+        server.drain()
+        s_wall = time.perf_counter() - t0
+        s_audio = s_streams * src.shape[-1] / pipe.content_sample_rate
+        s_agg = s_wall / s_audio
+        pool_rtf = s_agg * s_slots
+        serving = {
+            "slots": s_slots,
+            "streams": s_streams,
+            "aggregate_rtf": round(s_agg, 4),
+            "pool_per_stream_rtf": round(pool_rtf, 4),
+            "realtime_streams": (s_slots if pool_rtf < 1.0
+                                 else int(s_slots / pool_rtf)),
+        }
+    except Exception as e:  # never let the serving extra kill the headline
+        print(f"serving bench skipped: {e}", file=sys.stderr)
+
     # the dev tunnel occasionally hiccups for hundreds of ms; the median is
     # the robust central tendency (min/max/avg all reported alongside)
     rtf_med = float(np.median(rtfs))
@@ -186,6 +218,7 @@ def main():
         "batch_streams": 4 if rtf_batch is not None else None,
         "batch_scaling": batch_scaling or None,
         "max_realtime_streams": max_rt_streams,
+        "serving": serving,
         "warmup_s": round(warmup_s, 1),
         # sub-phase breakdown of the worst-latency run (tail diagnostics):
         # host_prep -> first_dispatch -> first_fetch, all ms since call start

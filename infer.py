@@ -39,6 +39,11 @@ def main():
                              "surface); 1 = sampling")
     parser.add_argument("--length_penalty", type=float, default=1.0)
     parser.add_argument("--streaming", action="store_true")
+    parser.add_argument("--serve", type=int, default=0, metavar="SLOTS",
+                        help="with --src_wavs --streaming: run the sources "
+                             "through a continuous-batching StreamServer "
+                             "with SLOTS decode slots (dynamic admission, "
+                             "per-stream stats) instead of lockstep batching")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true",
                         help="run the GPT decode in bfloat16")
@@ -87,7 +92,20 @@ def main():
         if any(s is None for s in srcs) or any(r is None for r in refs):
             print("failed to load audio", file=sys.stderr)
             sys.exit(1)
-        if args.streaming:
+        if args.streaming and args.serve > 0:
+            from genvc_tpu.serving.server import StreamServer
+
+            server = StreamServer(pipe, slots=args.serve)
+            sids = [server.submit(s, r) for s, r in zip(srcs, refs)]
+            server.drain()
+            wavs = []
+            for sid in sids:
+                wav, stats = server.result(sid)
+                wavs.append(wav)
+                print(f"stream {sid}: latency "
+                      f"{(stats['latency_s'] or 0) * 1000:.0f} ms, "
+                      f"rtf {stats['rtf']:.3f}")
+        elif args.streaming:
             pipe.warmup(streaming=True)
             wavs, _, _ = pipe.synthesize_streaming_batch(srcs, refs)
         else:
