@@ -59,6 +59,8 @@ class _Stream:
     overlap: np.ndarray | None = None
     latency: float | None = None
     done_t: float | None = None
+    on_chunk: object = None        # optional per-stream chunk callback
+    callback_error: str | None = None
 
 
 def _serving_jits(pipe):
@@ -152,10 +154,16 @@ class StreamServer:
 
     # ------------------------------------------------------------- submit
 
-    def submit(self, src_wav: np.ndarray, ref_audio: np.ndarray) -> int:
+    def submit(self, src_wav: np.ndarray, ref_audio: np.ndarray,
+               on_chunk=None) -> int:
         """Register a stream (any time). The reference conditioning latent is
         computed immediately (one dispatch); decoding starts when a slot
-        frees at the next ``step``."""
+        frees at the next ``step``.
+
+        ``on_chunk(sid, chunk)`` (optional) is called with each crossfaded
+        24 kHz audio chunk as it is emitted — the live-streaming delivery
+        path. A raising callback is disabled for that stream and recorded in
+        its result stats (``callback_error``); synthesis continues."""
         sid = self._next_sid
         self._next_sid += 1
         stream = _Stream(
@@ -163,7 +171,8 @@ class StreamServer:
             segments=list(self.pipe._segments(src_wav)),
             cond=self.pipe.get_gpt_cond_latents(ref_audio),
             submit_t=time.perf_counter(),
-            audio_samples=int(src_wav.shape[-1]))
+            audio_samples=int(src_wav.shape[-1]),
+            on_chunk=on_chunk)
         if not stream.segments:  # zero-length source: retire immediately
             self._results[sid] = (np.zeros((0,), np.float32), {
                 "latency_s": None, "wall_s": 0.0, "audio_s": 0.0,
@@ -285,6 +294,12 @@ class StreamServer:
         s.chunks.append(chunk)
         if s.latency is None:
             s.latency = time.perf_counter() - s.submit_t
+        if s.on_chunk is not None:
+            try:
+                s.on_chunk(s.sid, chunk)
+            except Exception as e:  # a client callback must not kill the pool
+                s.callback_error = f"{type(e).__name__}: {e}"
+                s.on_chunk = None
 
     def _advance(self, s: _Stream, slot: int):
         s.seg_idx += 1
@@ -302,6 +317,7 @@ class StreamServer:
             "wall_s": wall,
             "audio_s": audio_s,
             "rtf": wall / audio_s if audio_s > 0 else None,
+            "callback_error": s.callback_error,
         })
         del self._slot_map[slot]
         self._free.append(slot)

@@ -135,3 +135,37 @@ def test_server_multi_segment_stream(pipe):
     got, stats = server.result(sid)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_on_chunk_callback_delivers_stream(pipe):
+    """on_chunk must deliver exactly the chunks whose concatenation is the
+    final wav, in order; a raising callback is disabled and recorded without
+    killing the pool or the other stream."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(31)
+    src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+
+    got_chunks = []
+
+    def cb(sid, chunk):
+        got_chunks.append((sid, np.asarray(chunk)))
+
+    def bad_cb(sid, chunk):
+        raise RuntimeError("client went away")
+
+    server = StreamServer(pipe, slots=2)
+    sid_ok = server.submit(src, ref, on_chunk=cb)
+    sid_bad = server.submit(src, ref, on_chunk=bad_cb)
+    server.drain()
+
+    wav_ok, stats_ok = server.result(sid_ok)
+    assert stats_ok["callback_error"] is None
+    assert all(s == sid_ok for s, _ in got_chunks)
+    np.testing.assert_array_equal(
+        np.concatenate([c for _, c in got_chunks], axis=-1), wav_ok)
+
+    wav_bad, stats_bad = server.result(sid_bad)
+    assert "RuntimeError" in stats_bad["callback_error"]
+    assert wav_bad.shape == wav_ok.shape  # synthesis completed regardless
