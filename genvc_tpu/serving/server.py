@@ -142,11 +142,17 @@ class StreamServer:
         gcfg = pipe.gpt_cfg
         cache_dtype = pipe.gpt_params["mel_embedding"].dtype
 
-        self._pool = engine.init_state(
+        pool = engine.init_state(
             gcfg, pipe._prefix_width, self.slots, gcfg.heads,
             gcfg.model_dim // gcfg.heads, pipe._next_rng(),
             cache_dtype=cache_dtype, gen_tokens=pipe._cache_gen_tokens(),
             per_row=True)
+        # never-occupied slots still tick; give them one valid key so their
+        # attention softmax is defined (all-masked keys -> NaN latents, which
+        # are harmless but pollute profiles/debugging) and mark them finished
+        self._pool = pool._replace(
+            key_valid=pool.key_valid.at[:, 0].set(True),
+            finished=jnp.ones((self.slots,), bool))
         self._carry = jnp.zeros((self.slots, 1, gcfg.model_dim), jnp.float32)
         # the serving jits are cached on the pipeline (one trace per pipe,
         # shared by every server instance; pipe._build_jits invalidates)
