@@ -128,8 +128,15 @@ class GenVCPipeline:
         if traced not in (None, "unset"):
             # the KV cache was traced right-sized to the generation cap; a
             # later cap increase would overflow it (writes clamp => silent
-            # corruption). Fail loudly instead.
-            limit = traced - STREAM_CHUNK * self.chunks_per_call
+            # corruption). Fail loudly instead. The limit is derived from the
+            # ACTUAL compiled cache length (incl. its 128-rounding headroom):
+            # the streaming driver may dispatch up to one extra in-flight
+            # call (call_sz steps) past max_new, so writes reach slot
+            # prefix + max_new + call_sz - 1.
+            t_cache = engine.cache_size(self.gpt_cfg, self._prefix_width,
+                                        traced)
+            limit = t_cache - self._prefix_width \
+                - STREAM_CHUNK * self.chunks_per_call
             if max_new > limit:
                 raise ValueError(
                     f"generation of {max_new} tokens exceeds the KV-cache "
@@ -814,23 +821,12 @@ class GenVCPipeline:
                     break
                 first_chunk = False
                 k = len(toks_np)
-                eos_j = None
-                for j, t in enumerate(toks_np):
-                    if n_total + j + 1 > max_new:
-                        eos_j = j - 1
-                        break
-                    if t == stop:
-                        eos_j = j
-                        break
-                if eos_j is None and n_total + k >= max_new:
-                    eos_j = k - 1
                 # emit complete windows up to (and including) the EOS window
-                n_lat_valid = carry_n + (k if eos_j is None else eos_j + 1)
+                eos_j, n_lat_valid, full, rem = window_accounting(
+                    toks_np, n_total, max_new, stop, carry_n, win)
                 n_windows = wavs_np.shape[0]
-                full = n_lat_valid // win
                 for w in range(min(full, n_windows)):
                     emit(wavs_np[w])
-                rem = n_lat_valid - full * win
                 if eos_j is not None:
                     if rem > 0:
                         wav_gen = self._vocode_fn(
@@ -979,21 +975,10 @@ class GenVCPipeline:
                         emit(i, np.asarray(wav1)[0])
                         done[i] = True
                         continue
-                    eos_j = None
-                    for j, t in enumerate(toks_np[i]):
-                        if n_total + j + 1 > caps[i]:
-                            eos_j = j - 1
-                            break
-                        if t == stop:
-                            eos_j = j
-                            break
-                    if eos_j is None and n_total + k >= caps[i]:
-                        eos_j = k - 1
-                    n_lat_valid = carry_n + (k if eos_j is None else eos_j + 1)
-                    full = n_lat_valid // win
+                    eos_j, n_lat_valid, full, rem = window_accounting(
+                        toks_np[i], n_total, caps[i], stop, carry_n, win)
                     for w in range(min(full, nw)):
                         emit(i, wavs_np[i, w])
-                    rem = n_lat_valid - full * win
                     if eos_j is not None:
                         if rem > 0:
                             wav_gen = self._vocode_fn(
@@ -1059,6 +1044,38 @@ class GenVCPipeline:
                             jnp.asarray([60], jnp.int32),
                             self._cond_latent)
             jax.block_until_ready(n_gen)
+
+
+def window_accounting(toks, n_total: int, max_new: int, stop: int,
+                      carry_n: int, win: int):
+    """Shared EOS/cap scan + window arithmetic for one decode call's fetched
+    tokens (reference consumer semantics, inference_utils.py:187-211) — used
+    by the single-stream driver, the lockstep batch driver, and the
+    continuous-batching StreamServer so their emission logic can never
+    diverge.
+
+    Returns ``(eos_j, n_lat_valid, full, rem)``: ``eos_j`` the index of the
+    last valid token within ``toks`` (None = segment continues past this
+    call), ``n_lat_valid`` the valid latent count incl. the ``carry_n``
+    carried latents, ``full`` the number of complete ``win``-sized windows
+    to emit, ``rem`` the remainder latents to vocode exact-width when the
+    segment ends here.
+    """
+    k = len(toks)
+    eos_j = None
+    for j, t in enumerate(toks):
+        if n_total + j + 1 > max_new:
+            eos_j = j - 1
+            break
+        if t == stop:
+            eos_j = j
+            break
+    if eos_j is None and n_total + k >= max_new:
+        eos_j = k - 1
+    n_lat_valid = carry_n + (k if eos_j is None else eos_j + 1)
+    full = n_lat_valid // win
+    rem = n_lat_valid - full * win
+    return eos_j, n_lat_valid, full, rem
 
 
 def _handle_chunk(wav_gen: np.ndarray, wav_overlap, overlap_len: int):

@@ -40,7 +40,7 @@ import numpy as np
 
 from genvc_tpu.decode import engine
 from genvc_tpu.inference.pipeline import (CROSSFADE, STREAM_CHUNK, TEXT_WIDTH,
-                                          _handle_chunk)
+                                          _handle_chunk, window_accounting)
 from genvc_tpu.models import gpt as gpt_model
 
 
@@ -154,9 +154,18 @@ class StreamServer:
             key_valid=pool.key_valid.at[:, 0].set(True),
             finished=jnp.ones((self.slots,), bool))
         self._carry = jnp.zeros((self.slots, 1, gcfg.model_dim), jnp.float32)
-        # the serving jits are cached on the pipeline (one trace per pipe,
-        # shared by every server instance; pipe._build_jits invalidates)
-        self._row_prefill, self._insert_fn = _serving_jits(pipe)
+
+    # the serving jits are cached on the pipeline (one trace per pipe,
+    # shared by every server instance) and resolved at CALL time, so a
+    # pipe._build_jits() rebuild (sampler change) is picked up here exactly
+    # like the tick program is — never a stale-sampler prefill
+    @property
+    def _row_prefill(self):
+        return _serving_jits(self.pipe)[0]
+
+    @property
+    def _insert_fn(self):
+        return _serving_jits(self.pipe)[1]
 
     # ------------------------------------------------------------- submit
 
@@ -182,7 +191,7 @@ class StreamServer:
         if not stream.segments:  # zero-length source: retire immediately
             self._results[sid] = (np.zeros((0,), np.float32), {
                 "latency_s": None, "wall_s": 0.0, "audio_s": 0.0,
-                "rtf": None})
+                "rtf": None, "callback_error": None})
             return sid
         self._queue.append(stream)
         return sid
@@ -263,22 +272,15 @@ class StreamServer:
                 self._emit(s, np.asarray(wav)[0])
                 seg_done = True
             else:
-                row_toks = toks_np[slot]
-                eos_j = None
-                for j, t in enumerate(row_toks):
-                    if s.n_total + j + 1 > s.max_new:
-                        eos_j = j - 1
-                        break
-                    if t == stop:
-                        eos_j = j
-                        break
-                if eos_j is None and s.n_total + k >= s.max_new:
-                    eos_j = k - 1
-                n_lat_valid = 1 + (k if eos_j is None else eos_j + 1)
-                full = n_lat_valid // k
+                # every tick carries exactly one latent (the prefill/window
+                # boundary token), decodes k=win tokens, and emits at most
+                # one full window — the same accounting as the single-stream
+                # driver with carry_n=1
+                eos_j, n_lat_valid, full, rem = window_accounting(
+                    toks_np[slot], s.n_total, s.max_new, stop, carry_n=1,
+                    win=k)
                 if full >= 1:
                     self._emit(s, wavs_np[slot, 0])
-                rem = n_lat_valid - full * k
                 if eos_j is not None:
                     if rem > 0:
                         wav = pipe._vocode_fn(

@@ -229,8 +229,11 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
     # reference recipe); subsets are for cheap structural dryruns (e.g. the
     # virtual-mesh GAN-step dryrun keeps MSD+MPD — the two-optimizer +
     # spectral-norm-buffer structure — without the STFT/CQT compile weight)
-    families = families or ("MSD_Discriminator", "MPD_Discriminator",
-                            "MSTFT_Discriminator", "MSCQT_Discriminator")
+    if families is None:
+        families = ("MSD_Discriminator", "MPD_Discriminator",
+                    "MSTFT_Discriminator", "MSCQT_Discriminator")
+    elif not families:
+        raise ValueError("families must name at least one discriminator")
     fam_key = {"MSD_Discriminator": "msd", "MPD_Discriminator": "mpd",
                "MSTFT_Discriminator": "msstftd",
                "MSCQT_Discriminator": "mssbcqtd"}

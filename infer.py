@@ -102,9 +102,11 @@ def main():
             for sid in sids:
                 wav, stats = server.result(sid)
                 wavs.append(wav)
+                rtf_txt = (f"{stats['rtf']:.3f}"
+                           if stats["rtf"] is not None else "n/a")
                 print(f"stream {sid}: latency "
                       f"{(stats['latency_s'] or 0) * 1000:.0f} ms, "
-                      f"rtf {stats['rtf']:.3f}")
+                      f"rtf {rtf_txt}")
         elif args.streaming:
             pipe.warmup(streaming=True)
             wavs, _, _ = pipe.synthesize_streaming_batch(srcs, refs)

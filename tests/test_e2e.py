@@ -373,3 +373,22 @@ def test_right_sized_cache_parity(pipe):
         pipe.gen_cap_tokens_per_code = old_cap
         pipe._cache_gen_traced = old_traced
         pipe._build_jits()
+
+
+def test_loose_cap_does_not_trip_capacity_guard(pipe):
+    """A generation cap ABOVE the architectural max must size the cache at
+    the architectural max and never trip the capacity guard (the guard is
+    derived from the actual compiled cache length, not cap-minus-slack)."""
+    old_cap = pipe.gen_cap_tokens_per_code
+    old_traced = pipe._cache_gen_traced
+    try:
+        pipe.gen_cap_tokens_per_code = 50.0  # not restrictive
+        pipe._cache_gen_traced = "unset"
+        traced = pipe._cache_gen_tokens()
+        assert traced == pipe.gpt_cfg.max_gen_mel_tokens
+        # architectural-max generation fits the compiled capacity
+        n_full = pipe._host_n_codes(pipe._seg_len_16k)
+        assert pipe._max_new(n_full) == traced
+    finally:
+        pipe.gen_cap_tokens_per_code = old_cap
+        pipe._cache_gen_traced = old_traced
