@@ -343,5 +343,11 @@ class StreamServer:
 
     def result(self, sid: int):
         """(wav, stats) for a finished stream; stats: latency_s (submit ->
-        first audio), wall_s, audio_s, rtf (wall/audio incl. queue wait)."""
+        first audio), wall_s, audio_s, rtf (wall/audio incl. queue wait),
+        callback_error."""
         return self._results[sid]
+
+    def pop_result(self, sid: int):
+        """Like :meth:`result` but releases the stored wav — call this in a
+        long-running server so retired streams don't accumulate."""
+        return self._results.pop(sid)
