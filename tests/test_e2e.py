@@ -392,3 +392,38 @@ def test_loose_cap_does_not_trip_capacity_guard(pipe):
     finally:
         pipe.gen_cap_tokens_per_code = old_cap
         pipe._cache_gen_traced = old_traced
+
+
+def test_window_accounting_edges():
+    """Pure-host unit tests of the shared EOS/cap window arithmetic (single
+    driver, batch driver, and StreamServer all consume this)."""
+    from genvc_tpu.inference.pipeline import window_accounting
+
+    stop = 1025
+    toks = [5, 9, 12, stop, 7, 7, 7, 7]
+    # EOS mid-call: valid tokens 0..3 (incl. stop), carry 1 -> 5 latents
+    eos_j, n_valid, full, rem = window_accounting(
+        toks, n_total=1, max_new=602, stop=stop, carry_n=1, win=8)
+    assert (eos_j, n_valid, full, rem) == (3, 5, 0, 5)
+
+    # no EOS, full window: 8 tokens + carry 1 -> emit 1 window, 1 remains
+    eos_j, n_valid, full, rem = window_accounting(
+        [7] * 8, n_total=1, max_new=602, stop=stop, carry_n=1, win=8)
+    assert (eos_j, n_valid, full, rem) == (None, 9, 1, 1)
+
+    # cap reached exactly at call end: eos_j = k-1, all latents valid
+    eos_j, n_valid, full, rem = window_accounting(
+        [7] * 8, n_total=8, max_new=16, stop=stop, carry_n=1, win=8)
+    assert (eos_j, n_valid, full, rem) == (7, 9, 1, 1)
+
+    # cap already exhausted before the first token: eos_j=-1, only carry
+    eos_j, n_valid, full, rem = window_accounting(
+        [7] * 8, n_total=16, max_new=16, stop=stop, carry_n=1, win=8)
+    assert (eos_j, n_valid, full, rem) == (-1, 1, 0, 1)
+
+    # EOS as the very last token of the call, no carry (later lockstep
+    # calls): two full windows, no remainder
+    eos_j, n_valid, full, rem = window_accounting(
+        [7] * 15 + [stop], n_total=9, max_new=602, stop=stop, carry_n=0,
+        win=8)
+    assert (eos_j, n_valid, full, rem) == (15, 16, 2, 0)
