@@ -121,7 +121,14 @@ class StreamServer:
         wav, stats = server.result(sid)
     """
 
-    def __init__(self, pipe, slots: int = 8, depth: int = 2):
+    def __init__(self, pipe, slots: int = 8, depth: int = 2, mesh=None):
+        """``mesh`` (optional ``jax.sharding.Mesh``): shard the slot pool
+        over the mesh's FIRST axis — scale-out serving, slots/chips rows per
+        chip. Decode has no cross-row ops, so GSPMD partitions the tick
+        program cleanly on the batch axis; admissions (``insert_row`` at a
+        traced slot index) lower to a masked update on the owning shard.
+        ``slots`` must divide evenly over the axis. Validated on the virtual
+        8-device CPU mesh (tests/test_multichip.py::test_sharded_stream_server)."""
         self.pipe = pipe
         self.slots = int(slots)
         # ticks kept in flight (double buffering): the host processes tick N
@@ -150,10 +157,34 @@ class StreamServer:
         # never-occupied slots still tick; give them one valid key so their
         # attention softmax is defined (all-masked keys -> NaN latents, which
         # are harmless but pollute profiles/debugging) and mark them finished
-        self._pool = pool._replace(
+        pool = pool._replace(
             key_valid=pool.key_valid.at[:, 0].set(True),
             finished=jnp.ones((self.slots,), bool))
-        self._carry = jnp.zeros((self.slots, 1, gcfg.model_dim), jnp.float32)
+        carry = jnp.zeros((self.slots, 1, gcfg.model_dim), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            if self.slots % mesh.shape[axis] != 0:
+                raise ValueError(
+                    f"slots={self.slots} must divide over mesh axis "
+                    f"'{axis}' ({mesh.shape[axis]} devices)")
+            row = NamedSharding(mesh, P(axis))            # (B, ...) leaves
+            pool = engine.DecodeState(
+                cache_k=jax.device_put(
+                    pool.cache_k, NamedSharding(mesh, P(None, axis))),
+                cache_v=jax.device_put(
+                    pool.cache_v, NamedSharding(mesh, P(None, axis))),
+                key_valid=jax.device_put(pool.key_valid, row),
+                cur_index=jax.device_put(pool.cur_index, row),
+                n_generated=jax.device_put(pool.n_generated, row),
+                last_token=jax.device_put(pool.last_token, row),
+                seen=jax.device_put(pool.seen, row),
+                finished=jax.device_put(pool.finished, row),
+                rng=jax.device_put(pool.rng, NamedSharding(mesh, P())))
+            carry = jax.device_put(carry, row)
+        self._pool = pool
+        self._carry = carry
 
     # the serving jits are cached on the pipeline (one trace per pipe,
     # shared by every server instance) and resolved at CALL time, so a

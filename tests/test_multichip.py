@@ -70,3 +70,48 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_stream_server(mesh8, tmp_path):
+    """StreamServer with the slot pool sharded over the mesh's data axis
+    (scale-out serving: slots/chips rows per chip) must produce the same
+    greedy audio as the single-device server."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic_bundle import write_bundle
+    from genvc_tpu.decode.engine import SamplerConfig
+    from genvc_tpu.inference.pipeline import model_init
+    from genvc_tpu.serving.server import StreamServer
+
+    path = str(tmp_path / "tiny_genvc.pth")
+    write_bundle(path)
+    pipe = model_init(path)
+    pipe.sampler = SamplerConfig(temperature=1.0, top_k=1, top_p=1.0,
+                                 repetition_penalty=1.0, do_sample=False)
+    pipe.gen_cap_tokens_per_code = 1.0
+    pipe.first_chunk_tokens = 8
+    pipe._build_jits()
+
+    rng = np.random.default_rng(41)
+    srcs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (16000, 12000)]
+    refs = [(rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+            for _ in range(2)]
+
+    plain = StreamServer(pipe, slots=4)
+    sids = [plain.submit(s, r) for s, r in zip(srcs, refs)]
+    plain.drain()
+    want = [plain.result(sid)[0] for sid in sids]
+
+    sharded = StreamServer(pipe, slots=4, mesh=mesh8)
+    sids = [sharded.submit(s, r) for s, r in zip(srcs, refs)]
+    sharded.drain()
+    for sid, w in zip(sids, want):
+        got, _ = sharded.result(sid)
+        assert got.shape == w.shape
+        np.testing.assert_allclose(got, w, atol=2e-4)
+
+    # slots must divide over the axis
+    with pytest.raises(ValueError, match="divide"):
+        StreamServer(pipe, slots=3, mesh=mesh8)
