@@ -145,6 +145,7 @@ class StreamServer:
         self._next_sid = 0
         self._inflight: deque = deque()   # (tick result, epoch snapshot)
         self._slot_epoch = [0] * self.slots
+        self._cancelled: set[int] = set()
 
         gcfg = pipe.gpt_cfg
         cache_dtype = pipe.gpt_params["mel_embedding"].dtype
@@ -222,7 +223,7 @@ class StreamServer:
         if not stream.segments:  # zero-length source: retire immediately
             self._results[sid] = (np.zeros((0,), np.float32), {
                 "latency_s": None, "wall_s": 0.0, "audio_s": 0.0,
-                "rtf": None, "callback_error": None})
+                "rtf": None, "callback_error": None, "cancelled": False})
             return sid
         self._queue.append(stream)
         return sid
@@ -245,10 +246,21 @@ class StreamServer:
 
     def _admit(self):
         while self._queue and self._free:
-            slot = self._free.pop(0)
             stream = self._queue.popleft()
+            if stream.sid in self._cancelled:
+                self._finalize(stream, cancelled=True)
+                continue
+            slot = self._free.pop(0)
             self._slot_map[slot] = stream
             self._start_segment(stream, slot)
+
+    def cancel(self, sid: int):
+        """Cancel a stream. Queued: finalized (empty) at the next admit
+        pass; active: its slot frees at the next processed tick; finished:
+        no-op. The result keeps whatever audio was emitted, with
+        ``stats['cancelled'] = True``."""
+        if sid not in self._results:
+            self._cancelled.add(sid)
 
     # -------------------------------------------------------------- ticks
 
@@ -288,12 +300,18 @@ class StreamServer:
         k = STREAM_CHUNK
         stop = pipe.gpt_cfg.stop_audio_token
         for slot in sorted(self._slot_map):
+            s = self._slot_map[slot]
+            if s.sid in self._cancelled:
+                self._finalize(s, cancelled=True)
+                del self._slot_map[slot]
+                self._free.append(slot)
+                self._free.sort()
+                continue
             if epochs[slot] != self._slot_epoch[slot]:
                 # this tick was dispatched before the slot's current stream/
                 # segment was inserted — its row data belongs to the previous
                 # occupant (already finalized); skip
                 continue
-            s = self._slot_map[slot]
             seg_done = False
             if s.first_tick and bool(pre_fin_np[slot, 0]):
                 # EOS at the prefill-sampled token: vocode just its latent
@@ -340,12 +358,7 @@ class StreamServer:
                 s.callback_error = f"{type(e).__name__}: {e}"
                 s.on_chunk = None
 
-    def _advance(self, s: _Stream, slot: int):
-        s.seg_idx += 1
-        if s.seg_idx < len(s.segments):
-            self._start_segment(s, slot)
-            return
-        # retire
+    def _finalize(self, s: _Stream, cancelled: bool = False):
         s.done_t = time.perf_counter()
         wav = (np.concatenate(s.chunks, axis=-1) if s.chunks
                else np.zeros((0,), np.float32))
@@ -357,7 +370,16 @@ class StreamServer:
             "audio_s": audio_s,
             "rtf": wall / audio_s if audio_s > 0 else None,
             "callback_error": s.callback_error,
+            "cancelled": cancelled,
         })
+        self._cancelled.discard(s.sid)
+
+    def _advance(self, s: _Stream, slot: int):
+        s.seg_idx += 1
+        if s.seg_idx < len(s.segments) and s.sid not in self._cancelled:
+            self._start_segment(s, slot)
+            return
+        self._finalize(s, cancelled=s.sid in self._cancelled)
         del self._slot_map[slot]
         self._free.append(slot)
         self._free.sort()

@@ -169,3 +169,41 @@ def test_on_chunk_callback_delivers_stream(pipe):
     wav_bad, stats_bad = server.result(sid_bad)
     assert "RuntimeError" in stats_bad["callback_error"]
     assert wav_bad.shape == wav_ok.shape  # synthesis completed regardless
+
+
+def test_cancel_stream(pipe):
+    """Cancelling a queued stream finalizes it empty; cancelling an active
+    stream frees its slot, keeps the audio emitted so far, and leaves the
+    other stream's output untouched."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(37)
+    src_a = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    src_b = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    src_c = (rng.standard_normal((1, 9000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    want_b = pipe.synthesize_streaming(src_b, ref, verbose=False)[0]
+
+    server = StreamServer(pipe, slots=2)
+    sid_a = server.submit(src_a, ref)
+    sid_b = server.submit(src_b, ref)
+    sid_c = server.submit(src_c, ref)   # queued (pool full)
+    server.cancel(sid_c)                # cancel while queued
+    server.step()
+    server.cancel(sid_a)                # cancel while active
+    server.drain()
+
+    wav_c, stats_c = server.result(sid_c)
+    assert stats_c["cancelled"] and wav_c.shape == (0,)
+
+    wav_a, stats_a = server.result(sid_a)
+    assert stats_a["cancelled"]
+
+    wav_b, stats_b = server.result(sid_b)
+    assert not stats_b["cancelled"]
+    assert wav_b.shape == want_b.shape
+    np.testing.assert_allclose(wav_b, want_b, atol=2e-4)
+
+    # cancel of a finished stream is a no-op
+    server.cancel(sid_b)
+    assert not server.result(sid_b)[1]["cancelled"]
