@@ -142,20 +142,38 @@ def _decode_forward(params, cfg, state: DecodeState):
     return cache_k, cache_v, key_valid, latent, logits
 
 
-def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig):
+def _select_token(key, logits, seen, sampler: SamplerConfig,
+                  row_params=None):
+    """Sampling chain + token selection. ``row_params`` (optional dict of
+    (B,) arrays: temperature / top_k / top_p / repetition_penalty /
+    do_sample) overrides the scalar ``sampler`` per row — the per-request
+    decode-config path of serving.StreamServer."""
+    if row_params is None:
+        processed = sampling.process_logits(
+            logits, seen, repetition_penalty=sampler.repetition_penalty,
+            temperature=sampler.temperature, top_k=sampler.top_k,
+            top_p=sampler.top_p)
+        if sampler.do_sample:
+            return sampling.sample_token(key, processed)
+        return jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    processed = sampling.process_logits_per_row(
+        logits, seen,
+        repetition_penalty=row_params["repetition_penalty"],
+        temperature=row_params["temperature"],
+        top_k=row_params["top_k"], top_p=row_params["top_p"])
+    sampled = sampling.sample_token(key, processed)
+    greedy = jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    return jnp.where(row_params["do_sample"], sampled, greedy)
+
+
+def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig,
+                row_params=None):
     """One AR step: embed last token, forward through the cached stack, sample."""
     cache_k, cache_v, key_valid, latent, logits = _decode_forward(
         params, cfg, state)
 
     rng, key = jax.random.split(state.rng)
-    processed = sampling.process_logits(
-        logits, state.seen, repetition_penalty=sampler.repetition_penalty,
-        temperature=sampler.temperature, top_k=sampler.top_k,
-        top_p=sampler.top_p)
-    if sampler.do_sample:
-        next_token = sampling.sample_token(key, processed)
-    else:
-        next_token = jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    next_token = _select_token(key, logits, state.seen, sampler, row_params)
     # finished rows keep emitting the pad (=stop) token
     next_token = jnp.where(state.finished, cfg.stop_audio_token, next_token)
     finished = state.finished | (next_token == cfg.stop_audio_token)
@@ -246,24 +264,19 @@ def prefill_logits(params, cfg: gpt_model.GPTConfig, state: DecodeState,
 
 def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
             prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
-            sampler: SamplerConfig):
+            sampler: SamplerConfig, row_params=None):
     """Embed [prefix | start_audio], fill the cache, sample the first token.
 
     prefix_emb: (B, P, D) — cond latents + formatted text embeddings
-    (gpt.build_prefix_emb). Returns (state, first_token, first_latent).
+    (gpt.build_prefix_emb). ``row_params`` optionally overrides the sampler
+    per row (see ``_select_token``). Returns (state, first_token,
+    first_latent).
     """
     b = prefix_emb.shape[0]
     filled, latent, logits = prefill_logits(params, cfg, state, prefix_emb,
                                             prefix_valid)
     rng, key = jax.random.split(filled.rng)
-    processed = sampling.process_logits(
-        logits, filled.seen, repetition_penalty=sampler.repetition_penalty,
-        temperature=sampler.temperature, top_k=sampler.top_k,
-        top_p=sampler.top_p)
-    if sampler.do_sample:
-        first_token = sampling.sample_token(key, processed)
-    else:
-        first_token = jnp.argmax(processed, axis=-1).astype(jnp.int32)
+    first_token = _select_token(key, logits, filled.seen, sampler, row_params)
     finished = first_token == cfg.stop_audio_token
     seen = filled.seen.at[jnp.arange(b), first_token].set(True)
 
@@ -277,17 +290,19 @@ def prefill(params, cfg: gpt_model.GPTConfig, state: DecodeState,
 
 
 def decode_chunk(params, cfg: gpt_model.GPTConfig, state: DecodeState,
-                 sampler: SamplerConfig, chunk: int = 8):
+                 sampler: SamplerConfig, chunk: int = 8, row_params=None):
     """Run ``chunk`` AR steps; returns (state, tokens (B, chunk),
     latents (B, chunk, D), already-finished-before-step mask (B, chunk)).
 
     The latent at slot i is the hidden of the input position that generated
     tokens[i] — exactly the pair the reference's ``sample_stream`` yields.
+    ``row_params`` optionally overrides the sampler per row.
     """
 
     def step(state, _):
         was_finished = state.finished
-        new_state, tok, latent = _decode_one(params, cfg, state, sampler)
+        new_state, tok, latent = _decode_one(params, cfg, state, sampler,
+                                             row_params)
         return new_state, (tok, latent, was_finished)
 
     state, (tokens, latents, pre_finished) = jax.lax.scan(

@@ -304,14 +304,9 @@ class GenVCPipeline:
             st, toks, lats, pre_fin = engine.decode_chunk(
                 gpt_params, gcfg, state, sampler, chunk=k)
             all_lats = jnp.concatenate([carry_latents, lats], axis=1)
-            b, w, dd = all_lats.shape
-            n_windows = w // win
-            wr = all_lats[:, : n_windows * win].reshape(
-                b * n_windows, win, dd)
-            x = jnp.swapaxes(wr, 1, 2)
-            x = linear_interp_x4(x, self.hifigan_scale_factor)
-            wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
-            return st, toks, all_lats, pre_fin, wavs.reshape(b, n_windows, -1)
+            wavs = batch_window_vocode(hifi_params, all_lats, win, voc_cfg,
+                                       self.hifigan_scale_factor)
+            return st, toks, all_lats, pre_fin, wavs
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def decode_all_fn(gpt_params, state, max_new):
@@ -1044,6 +1039,21 @@ class GenVCPipeline:
                             jnp.asarray([60], jnp.int32),
                             self._cond_latent)
             jax.block_until_ready(n_gen)
+
+
+def batch_window_vocode(hifi_params, all_lats, win: int, voc_cfg, scale: int):
+    """Fold each row's completed ``win``-latent windows into the vocoder
+    batch dim: (B, W, D) latents -> (B, W//win, win*scale*4) audio. Each
+    window is vocoded with independent conv context, byte-identical to a
+    standalone single-window call — shared by the lockstep batch driver and
+    the serving tick."""
+    b, w, dd = all_lats.shape
+    n_windows = w // win
+    wr = all_lats[:, : n_windows * win].reshape(b * n_windows, win, dd)
+    x = jnp.swapaxes(wr, 1, 2)
+    x = linear_interp_x4(x, scale)
+    wavs = hifigan.generator_forward(hifi_params, x, voc_cfg)[:, 0]
+    return wavs.reshape(b, n_windows, -1)
 
 
 def window_accounting(toks, n_total: int, max_new: int, stop: int,

@@ -81,3 +81,44 @@ def process_logits(logits: jnp.ndarray, seen: jnp.ndarray, *,
 def sample_token(key, logits: jnp.ndarray) -> jnp.ndarray:
     """Multinomial sample from processed logits; (B, V) -> (B,) int32."""
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def process_logits_per_row(logits: jnp.ndarray, seen: jnp.ndarray,
+                           repetition_penalty: jnp.ndarray,
+                           temperature: jnp.ndarray,
+                           top_k: jnp.ndarray,
+                           top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-ROW variant of :func:`process_logits` for continuous-batching
+    pools where every row carries its own decode parameters (all params are
+    (B,) arrays; ``top_k <= 0`` disables top-k for that row, ``top_p >= 1``
+    and ``temperature == 1`` are natural identities). Matches the scalar
+    chain exactly when all rows share one config (parity test
+    tests/test_sampling.py)."""
+    logits = logits.astype(jnp.float32)
+    b, v = logits.shape
+
+    # repetition penalty (HF semantics) per row
+    p = repetition_penalty.astype(jnp.float32)[:, None]
+    penalized = jnp.where(logits < 0, logits * p, logits / p)
+    logits = jnp.where(seen, penalized, logits)
+
+    # temperature per row
+    logits = logits / temperature.astype(jnp.float32)[:, None]
+
+    # top-k per row: keep ranks < k (ties at the kth value kept, like the
+    # scalar `logits < kth -> -inf` rule)
+    sorted_desc = -jnp.sort(-logits, axis=-1)
+    k = jnp.where(top_k <= 0, v, top_k).astype(jnp.int32)
+    k = jnp.clip(k, 1, v)
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    logits = jnp.where(logits < kth, -jnp.inf, logits)
+
+    # top-p per row (HF TopPLogitsWarper, min_tokens_to_keep=1)
+    sorted_asc = jnp.sort(logits, axis=-1)
+    probs = jax.nn.softmax(sorted_asc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    sorted_keep = cum > (1.0 - top_p.astype(jnp.float32)[:, None])
+    sorted_keep = sorted_keep.at[..., -1].set(True)
+    cutoff = jnp.min(jnp.where(sorted_keep, sorted_asc, jnp.inf), axis=-1,
+                     keepdims=True)
+    return jnp.where(logits < cutoff, -jnp.inf, logits)

@@ -31,6 +31,7 @@ steps + the completed 8-latent window vocoded for all rows
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from collections import deque
 
@@ -40,7 +41,8 @@ import numpy as np
 
 from genvc_tpu.decode import engine
 from genvc_tpu.inference.pipeline import (CROSSFADE, STREAM_CHUNK, TEXT_WIDTH,
-                                          _handle_chunk, window_accounting)
+                                          _handle_chunk, batch_window_vocode,
+                                          window_accounting)
 from genvc_tpu.models import gpt as gpt_model
 
 
@@ -61,27 +63,31 @@ class _Stream:
     done_t: float | None = None
     on_chunk: object = None        # optional per-stream chunk callback
     callback_error: str | None = None
+    sampler: object = None         # per-stream decode config (None = pipe's)
 
 
 def _serving_jits(pipe):
-    """Build (or fetch the cached) jitted admission programs for ``pipe``:
-    a single-row per-row-position segment prefill and the slot insertion.
-    Cached on the pipe so repeated StreamServer construction costs no
-    retrace; ``GenVCPipeline._build_jits`` clears the cache (sampler or
-    program changes)."""
+    """Build (or fetch the cached) jitted serving programs for ``pipe``:
+    single-row per-row-position segment prefill, slot insertion (state +
+    carry + per-row decode params), and the pool tick. Cached on the pipe
+    so repeated StreamServer construction costs no retrace;
+    ``GenVCPipeline._build_jits`` clears the cache (program changes)."""
     cached = getattr(pipe, "_serving_jit_cache", None)
     if cached is not None:
         return cached
 
     gcfg = pipe.gpt_cfg
     sampler = pipe.sampler
+    voc_cfg = pipe.config.vocoder_config
+    scale = pipe.hifigan_scale_factor
     cache_dtype = pipe.gpt_params["mel_embedding"].dtype
 
     @jax.jit
     def row_prefill(cv_params, cd_params, gpt_params, cond, seg16k,
-                    sample_valid, rng):
+                    sample_valid, rng, row_params):
         """Single-row segment prefill with per-row cache positions — the
-        admission payload for ``insert_row``."""
+        admission payload for ``insert_row``. ``row_params``: the stream's
+        decode config as (1,) arrays (first-token sampling uses it)."""
         codes, n_codes = pipe._content_fn(cv_params, cd_params, seg16k,
                                           sample_valid)
         codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
@@ -92,19 +98,38 @@ def _serving_jits(pipe):
             gcfg.model_dim // gcfg.heads, rng, cache_dtype=cache_dtype,
             gen_tokens=pipe._cache_gen_tokens(), per_row=True)
         return engine.prefill(gpt_params, gcfg, state, prefix, valid,
-                              sampler)
+                              sampler, row_params=row_params)
 
     @jax.jit
-    def insert_fn(pool, row, slot, carry, lat0):
-        """Admit a prefilled row into ``slot``: cache insertion + its
-        prefill latent becomes the slot's window carry."""
+    def insert_fn(pool, row, slot, carry, lat0, pool_params, row_values):
+        """Admit a prefilled row into ``slot``: cache insertion, its prefill
+        latent becomes the slot's window carry, and the slot's decode
+        params are set to the stream's config."""
+        s = jnp.asarray(slot, jnp.int32)
         new_pool = engine.insert_row(pool, row, slot)
         carry = jax.lax.dynamic_update_slice(
             carry, lat0[:, None, :].astype(carry.dtype),
-            (jnp.asarray(slot, jnp.int32), jnp.int32(0), jnp.int32(0)))
-        return new_pool, carry
+            (s, jnp.int32(0), jnp.int32(0)))
+        new_params = {
+            k: jax.lax.dynamic_update_slice(pool_params[k], row_values[k],
+                                            (s,))
+            for k in pool_params
+        }
+        return new_pool, carry, new_params
 
-    pipe._serving_jit_cache = (row_prefill, insert_fn)
+    @functools.partial(jax.jit, static_argnames=("k", "win"))
+    def tick_fn(gpt_params, hifi_params, state, carry, row_params,
+                k=STREAM_CHUNK, win=STREAM_CHUNK):
+        """One pool tick: k decode steps under per-row decode params + the
+        completed win-latent window vocoded for every row, one dispatch."""
+        st, toks, lats, pre_fin = engine.decode_chunk(
+            gpt_params, gcfg, state, sampler, chunk=k, row_params=row_params)
+        all_lats = jnp.concatenate([carry, lats], axis=1)
+        wavs = batch_window_vocode(hifi_params, all_lats, win, voc_cfg,
+                                   scale)
+        return st, toks, all_lats, pre_fin, wavs
+
+    pipe._serving_jit_cache = (row_prefill, insert_fn, tick_fn)
     return pipe._serving_jit_cache
 
 
@@ -162,6 +187,12 @@ class StreamServer:
             key_valid=pool.key_valid.at[:, 0].set(True),
             finished=jnp.ones((self.slots,), bool))
         carry = jnp.zeros((self.slots, 1, gcfg.model_dim), jnp.float32)
+        # per-slot decode params (per-request generation config); idle slots
+        # hold the pipeline defaults
+        row_params = {
+            k: jnp.broadcast_to(v, (self.slots,) + v.shape[1:]).copy()
+            for k, v in self._sampler_values(pipe.sampler).items()
+        }
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -184,8 +215,11 @@ class StreamServer:
                 finished=jax.device_put(pool.finished, row),
                 rng=jax.device_put(pool.rng, NamedSharding(mesh, P())))
             carry = jax.device_put(carry, row)
+            row_params = {k: jax.device_put(v, row)
+                          for k, v in row_params.items()}
         self._pool = pool
         self._carry = carry
+        self._row_params = row_params
 
     # the serving jits are cached on the pipeline (one trace per pipe,
     # shared by every server instance) and resolved at CALL time, so a
@@ -199,10 +233,26 @@ class StreamServer:
     def _insert_fn(self):
         return _serving_jits(self.pipe)[1]
 
+    @property
+    def _tick_fn(self):
+        return _serving_jits(self.pipe)[2]
+
+    @staticmethod
+    def _sampler_values(sampler) -> dict:
+        """A SamplerConfig as the (1,) device arrays row_params expects."""
+        return {
+            "temperature": jnp.asarray([sampler.temperature], jnp.float32),
+            "top_k": jnp.asarray([sampler.top_k], jnp.int32),
+            "top_p": jnp.asarray([sampler.top_p], jnp.float32),
+            "repetition_penalty": jnp.asarray([sampler.repetition_penalty],
+                                              jnp.float32),
+            "do_sample": jnp.asarray([sampler.do_sample], bool),
+        }
+
     # ------------------------------------------------------------- submit
 
     def submit(self, src_wav: np.ndarray, ref_audio: np.ndarray,
-               on_chunk=None) -> int:
+               on_chunk=None, sampler=None) -> int:
         """Register a stream (any time). The reference conditioning latent is
         computed immediately (one dispatch); decoding starts when a slot
         frees at the next ``step``.
@@ -210,7 +260,12 @@ class StreamServer:
         ``on_chunk(sid, chunk)`` (optional) is called with each crossfaded
         24 kHz audio chunk as it is emitted — the live-streaming delivery
         path. A raising callback is disabled for that stream and recorded in
-        its result stats (``callback_error``); synthesis continues."""
+        its result stats (``callback_error``); synthesis continues.
+
+        ``sampler`` (optional ``SamplerConfig``) sets THIS stream's decode
+        parameters (temperature/top_k/top_p/repetition_penalty/do_sample) —
+        per-request generation config; rows decode under their own params in
+        the shared pool tick. Default: the pipeline's sampler."""
         sid = self._next_sid
         self._next_sid += 1
         stream = _Stream(
@@ -219,7 +274,8 @@ class StreamServer:
             cond=self.pipe.get_gpt_cond_latents(ref_audio),
             submit_t=time.perf_counter(),
             audio_samples=int(src_wav.shape[-1]),
-            on_chunk=on_chunk)
+            on_chunk=on_chunk,
+            sampler=sampler)
         if not stream.segments:  # zero-length source: retire immediately
             self._results[sid] = (np.zeros((0,), np.float32), {
                 "latency_s": None, "wall_s": 0.0, "audio_s": 0.0,
@@ -233,12 +289,14 @@ class StreamServer:
     def _start_segment(self, stream: _Stream, slot: int):
         pipe = self.pipe
         seg, t_real = stream.segments[stream.seg_idx]
+        values = self._sampler_values(stream.sampler or pipe.sampler)
         row, tok0, lat0 = self._row_prefill(
             pipe.contentvec_params, pipe.content_dvae_params, pipe.gpt_params,
             stream.cond, jnp.asarray(pipe._pcm16(seg)),
-            jnp.asarray([t_real], jnp.int32), pipe._next_rng())
-        self._pool, self._carry = self._insert_fn(
-            self._pool, row, jnp.int32(slot), self._carry, lat0)
+            jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values)
+        self._pool, self._carry, self._row_params = self._insert_fn(
+            self._pool, row, jnp.int32(slot), self._carry, lat0,
+            self._row_params, values)
         self._slot_epoch[slot] += 1  # in-flight ticks for this slot are stale
         stream.n_total = 1
         stream.first_tick = True
@@ -267,9 +325,9 @@ class StreamServer:
     def _dispatch_tick(self):
         pipe = self.pipe
         k = STREAM_CHUNK
-        res = pipe._stream_chunk_batch_fn(
-            pipe.gpt_params, pipe.hifigan_params, self._pool, k, self._carry,
-            win=k)
+        res = self._tick_fn(
+            pipe.gpt_params, pipe.hifigan_params, self._pool, self._carry,
+            self._row_params, k=k, win=k)
         st, toks, all_lats, pre_fin, wavs = res
         self._pool = st
         self._carry = all_lats[:, k : k + 1]

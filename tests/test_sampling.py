@@ -72,3 +72,44 @@ def test_full_chain_matches_hf():
     np.testing.assert_array_equal(np.isinf(got), np.isinf(ref))
     np.testing.assert_allclose(got[~np.isinf(got)], ref[~np.isinf(ref)],
                                rtol=1e-5)
+
+
+def test_per_row_chain_matches_scalar():
+    """process_logits_per_row with every row sharing one config must equal
+    the scalar chain; with per-row configs each row must equal the scalar
+    chain run at that row's config."""
+    rng = np.random.default_rng(5)
+    b, v = 4, 64
+    logits = jnp.asarray(rng.standard_normal((b, v)) * 3, jnp.float32)
+    seen = jnp.asarray(rng.random((b, v)) < 0.2)
+
+    configs = [
+        dict(repetition_penalty=2.0, temperature=0.85, top_k=15, top_p=0.85),
+        dict(repetition_penalty=1.0, temperature=1.0, top_k=0, top_p=1.0),
+        dict(repetition_penalty=1.5, temperature=0.5, top_k=1, top_p=1.0),
+        dict(repetition_penalty=1.0, temperature=1.3, top_k=40, top_p=0.4),
+    ]
+    # uniform rows
+    for cfg in configs:
+        want = sampling.process_logits(logits, seen, **cfg)
+        got = sampling.process_logits_per_row(
+            logits, seen,
+            repetition_penalty=jnp.full((b,), cfg["repetition_penalty"]),
+            temperature=jnp.full((b,), cfg["temperature"]),
+            top_k=jnp.full((b,), cfg["top_k"], jnp.int32),
+            top_p=jnp.full((b,), cfg["top_p"]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+    # mixed rows: row i under configs[i]
+    got = sampling.process_logits_per_row(
+        logits, seen,
+        repetition_penalty=jnp.asarray(
+            [c["repetition_penalty"] for c in configs]),
+        temperature=jnp.asarray([c["temperature"] for c in configs]),
+        top_k=jnp.asarray([c["top_k"] for c in configs], jnp.int32),
+        top_p=jnp.asarray([c["top_p"] for c in configs]))
+    for i, cfg in enumerate(configs):
+        want = sampling.process_logits(logits[i : i + 1], seen[i : i + 1],
+                                       **cfg)
+        np.testing.assert_allclose(np.asarray(got[i : i + 1]),
+                                   np.asarray(want), atol=1e-6)

@@ -207,3 +207,32 @@ def test_cancel_stream(pipe):
     # cancel of a finished stream is a no-op
     server.cancel(sid_b)
     assert not server.result(sid_b)[1]["cancelled"]
+
+
+def test_per_stream_sampler(pipe):
+    """Per-request decode config: a greedy stream sharing the pool with a
+    sampled stream must still match its standalone greedy run byte-for-byte;
+    the sampled stream produces valid audio under its own parameters."""
+    from genvc_tpu.decode.engine import SamplerConfig
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(43)
+    src_a = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    src_b = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    want_a = pipe.synthesize_streaming(src_a, ref, verbose=False)[0]
+
+    server = StreamServer(pipe, slots=2)
+    sid_a = server.submit(src_a, ref)  # pipeline default (greedy)
+    sid_b = server.submit(src_b, ref, sampler=SamplerConfig(
+        temperature=0.8, top_k=5, top_p=0.9, repetition_penalty=2.0,
+        do_sample=True))
+    server.drain()
+
+    wav_a, _ = server.result(sid_a)
+    assert wav_a.shape == want_a.shape
+    np.testing.assert_allclose(wav_a, want_a, atol=2e-4)
+
+    wav_b, stats_b = server.result(sid_b)
+    assert wav_b.shape[0] > 0
+    assert np.all(np.isfinite(wav_b)) and np.max(np.abs(wav_b)) <= 1.0
