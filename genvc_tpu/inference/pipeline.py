@@ -296,13 +296,18 @@ class GenVCPipeline:
 
         @functools.partial(jax.jit, static_argnames=("k", "win"))
         def stream_chunk_batch_fn(gpt_params, hifi_params, state, k,
-                                  carry_latents, win=STREAM_CHUNK):
+                                  carry_latents, win=STREAM_CHUNK,
+                                  row_params=None):
             """B-row variant of stream_chunk_fn: each row's completed
             ``win``-token windows fold into the vocoder batch dim. Returns
             wavs (B, n_windows, win*stride*4) — per-row windows remain
-            byte-identical to standalone single-row chunks."""
+            byte-identical to standalone single-row chunks. ``row_params``
+            (optional dict of (B,) arrays) decodes each row under its own
+            sampler parameters — the StreamServer's per-request config path
+            (None traces the scalar chain, which elides identity warpers)."""
             st, toks, lats, pre_fin = engine.decode_chunk(
-                gpt_params, gcfg, state, sampler, chunk=k)
+                gpt_params, gcfg, state, sampler, chunk=k,
+                row_params=row_params)
             all_lats = jnp.concatenate([carry_latents, lats], axis=1)
             wavs = batch_window_vocode(hifi_params, all_lats, win, voc_cfg,
                                        self.hifigan_scale_factor)

@@ -113,11 +113,14 @@ def process_logits_per_row(logits: jnp.ndarray, seen: jnp.ndarray,
     kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
     logits = jnp.where(logits < kth, -jnp.inf, logits)
 
-    # top-p per row (HF TopPLogitsWarper, min_tokens_to_keep=1)
+    # top-p per row (HF TopPLogitsWarper, min_tokens_to_keep=1); p >= 1 rows
+    # keep everything EXACTLY (not via cum > 0, where float32 softmax
+    # underflow could mask tokens ~90+ logits below the row max)
     sorted_asc = jnp.sort(logits, axis=-1)
     probs = jax.nn.softmax(sorted_asc, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    sorted_keep = cum > (1.0 - top_p.astype(jnp.float32)[:, None])
+    p_row = top_p.astype(jnp.float32)[:, None]
+    sorted_keep = (cum > (1.0 - p_row)) | (p_row >= 1.0)
     sorted_keep = sorted_keep.at[..., -1].set(True)
     cutoff = jnp.min(jnp.where(sorted_keep, sorted_asc, jnp.inf), axis=-1,
                      keepdims=True)

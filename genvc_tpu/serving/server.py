@@ -23,15 +23,18 @@ assembly, same multi-segment progression.
 Engine mechanics: pool rows sit at different decode depths, so the pool's
 ``DecodeState`` uses per-row cache positions (``init_state(per_row=True)``);
 admission runs a single-row segment prefill and writes it into a slot with
-one jitted ``insert_row`` dispatch. Every tick is ONE device call: 8 decode
-steps + the completed 8-latent window vocoded for all rows
-(``stream_chunk_batch_fn``), with device->host copies started at dispatch.
+one jitted ``insert_row`` dispatch. Every tick is ONE device call
+(``pipeline.stream_chunk_batch_fn``): 8 decode steps + the completed
+8-latent window vocoded for all rows, with device->host copies started at
+dispatch. Streams may carry per-request decode parameters
+(``submit(sampler=SamplerConfig(...))``); the tick threads (B,) parameter
+arrays through the vectorized warper chain only while some active slot has
+a custom config — all-default pools tick through the cheaper scalar trace.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from collections import deque
 
@@ -41,8 +44,7 @@ import numpy as np
 
 from genvc_tpu.decode import engine
 from genvc_tpu.inference.pipeline import (CROSSFADE, STREAM_CHUNK, TEXT_WIDTH,
-                                          _handle_chunk, batch_window_vocode,
-                                          window_accounting)
+                                          _handle_chunk, window_accounting)
 from genvc_tpu.models import gpt as gpt_model
 
 
@@ -78,8 +80,6 @@ def _serving_jits(pipe):
 
     gcfg = pipe.gpt_cfg
     sampler = pipe.sampler
-    voc_cfg = pipe.config.vocoder_config
-    scale = pipe.hifigan_scale_factor
     cache_dtype = pipe.gpt_params["mel_embedding"].dtype
 
     @jax.jit
@@ -117,19 +117,7 @@ def _serving_jits(pipe):
         }
         return new_pool, carry, new_params
 
-    @functools.partial(jax.jit, static_argnames=("k", "win"))
-    def tick_fn(gpt_params, hifi_params, state, carry, row_params,
-                k=STREAM_CHUNK, win=STREAM_CHUNK):
-        """One pool tick: k decode steps under per-row decode params + the
-        completed win-latent window vocoded for every row, one dispatch."""
-        st, toks, lats, pre_fin = engine.decode_chunk(
-            gpt_params, gcfg, state, sampler, chunk=k, row_params=row_params)
-        all_lats = jnp.concatenate([carry, lats], axis=1)
-        wavs = batch_window_vocode(hifi_params, all_lats, win, voc_cfg,
-                                   scale)
-        return st, toks, all_lats, pre_fin, wavs
-
-    pipe._serving_jit_cache = (row_prefill, insert_fn, tick_fn)
+    pipe._serving_jit_cache = (row_prefill, insert_fn)
     return pipe._serving_jit_cache
 
 
@@ -171,6 +159,9 @@ class StreamServer:
         self._inflight: deque = deque()   # (tick result, epoch snapshot)
         self._slot_epoch = [0] * self.slots
         self._cancelled: set[int] = set()
+        # slots whose stream carries a custom SamplerConfig — when none do,
+        # ticks dispatch the scalar-sampler trace (cheaper warper chain)
+        self._slot_custom = [False] * self.slots
 
         gcfg = pipe.gpt_cfg
         cache_dtype = pipe.gpt_params["mel_embedding"].dtype
@@ -233,10 +224,6 @@ class StreamServer:
     def _insert_fn(self):
         return _serving_jits(self.pipe)[1]
 
-    @property
-    def _tick_fn(self):
-        return _serving_jits(self.pipe)[2]
-
     @staticmethod
     def _sampler_values(sampler) -> dict:
         """A SamplerConfig as the (1,) device arrays row_params expects."""
@@ -298,6 +285,7 @@ class StreamServer:
             self._pool, row, jnp.int32(slot), self._carry, lat0,
             self._row_params, values)
         self._slot_epoch[slot] += 1  # in-flight ticks for this slot are stale
+        self._slot_custom[slot] = stream.sampler is not None
         stream.n_total = 1
         stream.first_tick = True
         stream.max_new = pipe._max_new(pipe._host_n_codes(t_real))
@@ -325,9 +313,13 @@ class StreamServer:
     def _dispatch_tick(self):
         pipe = self.pipe
         k = STREAM_CHUNK
-        res = self._tick_fn(
-            pipe.gpt_params, pipe.hifigan_params, self._pool, self._carry,
-            self._row_params, k=k, win=k)
+        # the common all-default pool ticks through the scalar-sampler trace
+        # (identity warpers elided at trace time); per-row params are only
+        # threaded when some active slot carries a custom config
+        rp = self._row_params if any(self._slot_custom) else None
+        res = pipe._stream_chunk_batch_fn(
+            pipe.gpt_params, pipe.hifigan_params, self._pool, k, self._carry,
+            win=k, row_params=rp)
         st, toks, all_lats, pre_fin, wavs = res
         self._pool = st
         self._carry = all_lats[:, k : k + 1]
@@ -362,6 +354,7 @@ class StreamServer:
             if s.sid in self._cancelled:
                 self._finalize(s, cancelled=True)
                 del self._slot_map[slot]
+                self._slot_custom[slot] = False
                 self._free.append(slot)
                 self._free.sort()
                 continue
@@ -439,6 +432,7 @@ class StreamServer:
             return
         self._finalize(s, cancelled=s.sid in self._cancelled)
         del self._slot_map[slot]
+        self._slot_custom[slot] = False
         self._free.append(slot)
         self._free.sort()
 
