@@ -66,6 +66,7 @@ class GenVCPipeline:
     contentvec_params: dict
     mel_norms: jnp.ndarray
     seed: int = 0
+    quantize: Optional[str] = None  # None | "int8" (ops.quant decode weights)
 
     def __post_init__(self):
         cfg = self.config
@@ -1112,9 +1113,14 @@ def _handle_chunk(wav_gen: np.ndarray, wav_overlap, overlap_len: int):
 
 
 def model_init(checkpoint_path: str, compute_dtype=jnp.float32,
-               seed: int = 0) -> GenVCPipeline:
+               seed: int = 0, quantize: str | None = None) -> GenVCPipeline:
     """Load a GenVC bundle (torch ``.pth`` or converted ``.npz``) and build the
-    inference pipeline (reference: inference/model_init.py:7-34)."""
+    inference pipeline (reference: inference/model_init.py:7-34).
+
+    ``quantize="int8"`` quantizes the GPT decode weights to int8
+    (ops.quant) — halves the per-AR-step HBM weight stream and runs the
+    contractions on the MXU's 2x int8 path. Opt-in: logits move at the ~1e-2
+    relative level, which can flip sampled tokens vs the bf16 path."""
     if checkpoint_path.endswith(".npz"):
         import json, os
         tree = checkpoint.load_pytree_npz(checkpoint_path)
@@ -1125,11 +1131,13 @@ def model_init(checkpoint_path: str, compute_dtype=jnp.float32,
     else:
         tree = checkpoint.convert_bundle(checkpoint_path)
     cfg = GenVCConfig.from_dict(tree["config"] or {})
-    return build_pipeline(tree, cfg, compute_dtype=compute_dtype, seed=seed)
+    return build_pipeline(tree, cfg, compute_dtype=compute_dtype, seed=seed,
+                          quantize=quantize)
 
 
 def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
-                   seed: int = 0) -> GenVCPipeline:
+                   seed: int = 0, quantize: str | None = None
+                   ) -> GenVCPipeline:
     ma = cfg.model_args
     gpt_cfg = gpt_model.GPTConfig(
         layers=ma.gpt_layers, model_dim=ma.gpt_n_model_channels,
@@ -1154,6 +1162,20 @@ def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
     # keep parity-critical leaves in f32
     for key in ("final_norm",):
         gpt_params[key] = jax.tree.map(jnp.float32, jax.tree.map(jnp.asarray, tree["gpt"][key]))
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unsupported quantize mode {quantize!r}; "
+                             "supported: 'int8'")
+        from genvc_tpu.ops import quant
+        # quantize from the original f32 weights (not the bf16 casts) so the
+        # int8 grid is placed on the true values; LayerNorm leaves inside
+        # core stay f32 (they compute in f32 regardless, ops.nn.layer_norm)
+        q_src = dict(gpt_params)
+        q_src["core"] = jax.tree.map(jnp.asarray, tree["gpt"]["core"])
+        for head in ("mel_head", "text_head"):
+            if head in tree["gpt"]:
+                q_src[head] = jax.tree.map(jnp.asarray, tree["gpt"][head])
+        gpt_params = quant.quantize_gpt_params(q_src)
     mel_norms = _load_mel_norms(cfg)
 
     cd_cfg = dvae.DVAEConfig(
@@ -1185,7 +1207,8 @@ def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
         acoustic_dvae_cfg=ad_cfg,
         contentvec_params=jax.tree.map(jnp.asarray, tree["contentvec"]),
         mel_norms=mel_norms,
-        seed=seed)
+        seed=seed,
+        quantize=quantize)
 
 
 def _load_mel_norms(cfg: GenVCConfig):

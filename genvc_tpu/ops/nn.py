@@ -18,6 +18,9 @@ NEG_INF = -1e9  # additive mask value; finite to keep softmax NaN-free
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized leaf (ops.quant) — serving decode path
+        from genvc_tpu.ops import quant
+        return quant.linear_q8(p, x)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

@@ -47,6 +47,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--bf16", action="store_true",
                         help="run the GPT decode in bfloat16")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="int8-quantize the GPT decode weights (halves "
+                             "the per-step HBM weight stream; logits move at "
+                             "the ~1e-2 level vs full precision)")
     args = parser.parse_args()
 
     import os
@@ -70,7 +75,7 @@ def main():
         sys.exit(1)
     pipe = model_init(args.model_path,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                      seed=args.seed)
+                      seed=args.seed, quantize=args.quantize)
     # top_k is the main inference quality knob; greedy (top_k=1) is preferred
     # for streaming (reference README.md:52)
     pipe.sampler = pipe.sampler.__class__(
