@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def build_random_pipeline(compute_dtype, seed=0):
+def build_random_pipeline(compute_dtype, seed=0, quantize=None):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +59,8 @@ def build_random_pipeline(compute_dtype, seed=0):
         "contentvec": contentvec.init_params(k5, n_layers=12),
         "config": cfg.to_dict(),
     }
-    pipe = build_pipeline(tree, cfg, compute_dtype=compute_dtype)
+    pipe = build_pipeline(tree, cfg, compute_dtype=compute_dtype,
+                          quantize=quantize)
     pipe.gen_cap_tokens_per_code = 1.875
     return pipe
 
@@ -194,6 +195,49 @@ def main():
     except Exception as e:  # never let the serving extra kill the headline
         print(f"serving bench skipped: {e}", file=sys.stderr)
 
+    # int8 decode-weight quantization (ops.quant): halves the per-AR-step HBM
+    # weight stream. Reported alongside the full-precision headline — the
+    # headline stays bf16 because quantization moves logits (~1e-2 relative)
+    # and no real checkpoint exists here to validate perceptual quality.
+    int8_section = None
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            pipe_q = build_random_pipeline(dtype, quantize="int8")
+            pipe_q.warmup(streaming=True)
+            q_lat, q_rtfs, q_toks = [], [], []
+            for _ in range(max(3, n_runs // 3)):
+                t0 = time.perf_counter()
+                wav, latency, rtf = pipe_q.synthesize_streaming(
+                    src, ref, verbose=False)
+                elapsed = time.perf_counter() - t0
+                q_lat.append(latency)
+                q_rtfs.append(rtf)
+                q_toks.append(((len(wav) + 7 * 1024) // 1024) / elapsed)
+            q_batch = {}
+            for b in (8, 16):
+                try:
+                    srcs, refs = [src] * b, [ref] * b
+                    pipe_q.synthesize_streaming_batch(srcs, refs,
+                                                      verbose=False)
+                    runs = [pipe_q.synthesize_streaming_batch(
+                        srcs, refs, verbose=False)[2] for _ in range(2)]
+                    agg = float(np.median(runs))
+                    q_batch[str(b)] = {"rtf_aggregate": round(agg, 4),
+                                       "rtf_per_stream": round(agg * b, 4)}
+                except Exception as e:
+                    print(f"int8 batched bench (B={b}) skipped: {e}",
+                          file=sys.stderr)
+            int8_section = {
+                "rtf_median": round(float(np.median(q_rtfs)), 4),
+                "latency_ms_median": round(
+                    float(np.median(q_lat)) * 1000, 1),
+                "ar_tokens_per_sec": round(float(np.mean(q_toks)), 1),
+                "batch_scaling": q_batch or None,
+            }
+            del pipe_q
+        except Exception as e:  # never let the extra kill the headline
+            print(f"int8 bench skipped: {e}", file=sys.stderr)
+
     # the dev tunnel occasionally hiccups for hundreds of ms; the median is
     # the robust central tendency (min/max/avg all reported alongside)
     rtf_med = float(np.median(rtfs))
@@ -219,6 +263,7 @@ def main():
         "batch_scaling": batch_scaling or None,
         "max_realtime_streams": max_rt_streams,
         "serving": serving,
+        "int8": int8_section,
         "warmup_s": round(warmup_s, 1),
         # sub-phase breakdown of the worst-latency run (tail diagnostics):
         # host_prep -> first_dispatch -> first_fetch, all ms since call start
