@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def build_random_pipeline(compute_dtype, seed=0, quantize=None):
+def build_random_pipeline(compute_dtype, seed=0, quantize=None,
+                          kv_cache_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +61,7 @@ def build_random_pipeline(compute_dtype, seed=0, quantize=None):
         "config": cfg.to_dict(),
     }
     pipe = build_pipeline(tree, cfg, compute_dtype=compute_dtype,
-                          quantize=quantize)
+                          quantize=quantize, kv_cache_dtype=kv_cache_dtype)
     pipe.gen_cap_tokens_per_code = 1.875
     return pipe
 

@@ -115,7 +115,10 @@ def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
 
 def _decode_forward(params, cfg, state: DecodeState):
     """One AR forward (no sampling): embed last token, run the cached stack.
-    Returns (cache_k, cache_v, key_valid, latent, logits)."""
+    Returns (cache_k, cache_v, key_valid, latent, logits, hidden) where
+    ``hidden`` is the post-``ln_f`` (pre-``final_norm``) hidden state — what
+    HF surfaces as ``hidden_states[-1]`` and contrastive search's
+    degeneration penalty consumes."""
     compute_dtype = params["mel_embedding"].dtype
     tok_emb = params["mel_embedding"][state.last_token]
     pos_emb = params["mel_pos"][state.n_generated]  # (D,) or per-row (B, D)
@@ -137,9 +140,10 @@ def _decode_forward(params, cfg, state: DecodeState):
         body, (h, state.cache_k, state.cache_v, jnp.int32(0)),
         params["core"]["blocks"])
     h = nn.layer_norm(params["core"]["ln_f"], h)
+    hidden = h[:, 0].astype(jnp.float32)
     latent = nn.layer_norm(params["final_norm"], h[:, 0]).astype(jnp.float32)
     logits = nn.linear(params["mel_head"], latent.astype(jnp.float32))
-    return cache_k, cache_v, key_valid, latent, logits
+    return cache_k, cache_v, key_valid, latent, logits, hidden
 
 
 def _select_token(key, logits, seen, sampler: SamplerConfig,
@@ -169,7 +173,7 @@ def _select_token(key, logits, seen, sampler: SamplerConfig,
 def _decode_one(params, cfg, state: DecodeState, sampler: SamplerConfig,
                 row_params=None):
     """One AR step: embed last token, forward through the cached stack, sample."""
-    cache_k, cache_v, key_valid, latent, logits = _decode_forward(
+    cache_k, cache_v, key_valid, latent, logits, _ = _decode_forward(
         params, cfg, state)
 
     rng, key = jax.random.split(state.rng)
@@ -206,11 +210,16 @@ def init_state(cfg: gpt_model.GPTConfig, prefix_width: int, batch: int,
 
 
 def prefill_logits(params, cfg: gpt_model.GPTConfig, state: DecodeState,
-                   prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray):
+                   prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+                   return_hidden: bool = False):
     """Embed [prefix | start_audio], fill the cache; return
     (cache-filled DecodeState, first_latent, first-position logits) WITHOUT
-    sampling — shared by :func:`prefill` (sampling) and :func:`decode_beam`
-    (beam selection)."""
+    sampling — shared by :func:`prefill` (sampling), :func:`decode_beam`
+    (beam selection) and :func:`decode_contrastive`. With
+    ``return_hidden=True`` a fourth element is appended: the post-``ln_f``
+    hidden states of the full [prefix | start_audio] sequence (B, P+1, D) —
+    the context that contrastive search's degeneration penalty compares
+    candidates against."""
     compute_dtype = params["mel_embedding"].dtype
     b, p, d = prefix_emb.shape
     start_emb = (params["mel_embedding"][cfg.start_audio_token]
@@ -259,6 +268,8 @@ def prefill_logits(params, cfg: gpt_model.GPTConfig, state: DecodeState,
         cur_index=idx, n_generated=jnp.zeros_like(state.n_generated),
         last_token=state.last_token, seen=state.seen,
         finished=state.finished, rng=state.rng)
+    if return_hidden:
+        return filled, latent, logits, h.astype(jnp.float32)
     return filled, latent, logits
 
 
@@ -385,23 +396,35 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
                 prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
                 max_new: int, num_beams: int, length_penalty: float = 1.0,
                 repetition_penalty: float = 1.0,
-                prefix_fake_len: jnp.ndarray | int | None = None):
-    """Deterministic beam search over the KV-cached engine — the
-    ``num_beams > 1`` decode mode of the reference's vendored HF generator
+                prefix_fake_len: jnp.ndarray | int | None = None,
+                do_sample: bool = False, temperature: float = 1.0,
+                top_k: int = 0, top_p: float = 1.0):
+    """Beam search over the KV-cached engine — the ``num_beams > 1`` decode
+    modes of the reference's vendored HF generator
     (layers/stream_generator.py:44-643, reachable via
     ``HiFiGANTrainer.inference(num_beams=..., length_penalty=...)``,
-    trainers/hifigan_trainer.py:458-470).
+    trainers/hifigan_trainer.py:458-470). ``do_sample=False`` is HF
+    ``beam_search``; ``do_sample=True`` is HF ``beam_sample`` (multinomial
+    beam search, stream_generator.py:474-511).
 
-    HF ``beam_search`` semantics reproduced:
-    * per step: log-softmax over (repetition-penalized) logits — beam search
-      applies logits *processors* but not sampling warpers (temperature /
-      top-k / top-p belong to the sampling modes),
-    * top ``2*num_beams`` flat candidates; EOS candidates ranked inside the
-      top ``num_beams`` finalize a hypothesis with score
-      ``sum_logprobs / (cur_len ** length_penalty)`` where ``cur_len`` counts
-      HF's ``input_ids`` length — fake prefix ids included
-      (``prefix_fake_len``; gpt.py:572-592 builds them) — matching the
-      reference's normalization exactly,
+    HF semantics reproduced:
+    * per step: log-softmax over the logits, then the logits *processors*
+      (repetition penalty) on the log-probs — beam modes process scores
+      post-softmax, unlike sample/greedy which process raw logits,
+    * candidate selection: beam_search takes the top ``2*num_beams`` flat
+      candidates by accumulated score. beam_sample adds the running beam
+      scores, applies the sampling *warpers* (temperature → top-k → top-p)
+      to those accumulated scores (HF's exact — if unusual — order), then
+      draws ``2*num_beams`` candidates without replacement from the softmax
+      over the flattened (num_beams*V) scores and sorts them by score
+      descending. The draw uses the Gumbel-top-k construction (equal in
+      distribution to sequential multinomial without replacement), keyed by
+      ``fold_in(state.rng, step)`` so runs are reproducible,
+    * EOS candidates ranked inside the top ``num_beams`` finalize a
+      hypothesis with score ``sum_scores / (cur_len ** length_penalty)``
+      where ``cur_len`` counts HF's ``input_ids`` length — fake prefix ids
+      included (``prefix_fake_len``; gpt.py:572-592 builds them) — matching
+      the reference's normalization exactly,
     * surviving beams are the best non-EOS candidates in rank order; the KV
       cache is reordered by parent beam (``_reorder_cache`` analogue,
       gpt_inference.py:126-136),
@@ -422,6 +445,7 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
 
     filled, _, logits0 = prefill_logits(params, cfg, state, prefix_emb,
                                         prefix_valid)
+    sample_rng = filled.rng
 
     neg = jnp.finfo(jnp.float32).min
 
@@ -429,11 +453,26 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
                fin_lens, s):
         """One beam-selection step. ``s`` = tokens generated so far (int32).
         Returns (parent, tok, new_scores, new fin set)."""
-        lp = sampling.apply_repetition_penalty(
-            logits.astype(jnp.float32), seen, repetition_penalty)
-        logp = jax.nn.log_softmax(lp, axis=-1)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # HF beam modes apply the repetition-penalty processor to the
+        # log-softmaxed scores (always <= 0, so seen tokens multiply)
+        logp = sampling.apply_repetition_penalty(logp, seen,
+                                                 repetition_penalty)
         cand = scores[:, None] + logp                     # (nb, V)
-        top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), 2 * nb)
+        if do_sample:
+            warped = sampling.apply_temperature(cand, temperature)
+            warped = sampling.apply_top_k(warped, top_k)
+            warped = sampling.apply_top_p(warped, top_p)
+            flat = warped.reshape(-1)
+            g = jax.random.gumbel(jax.random.fold_in(sample_rng, s),
+                                  flat.shape, jnp.float32)
+            _, drawn = jax.lax.top_k(flat + g, 2 * nb)
+            drawn_scores = flat[drawn]
+            order = jnp.argsort(-drawn_scores)
+            top_scores = drawn_scores[order]
+            top_idx = drawn[order]
+        else:
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), 2 * nb)
         parent = (top_idx // v).astype(jnp.int32)
         tok = (top_idx % v).astype(jnp.int32)
         is_eos = tok == stop
@@ -489,7 +528,7 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
 
     def body(carry):
         st, bufs, scores, fin, s = carry
-        cache_k, cache_v, key_valid, _, logits = _decode_forward(
+        cache_k, cache_v, key_valid, _, logits, _ = _decode_forward(
             params, cfg, st)
         parent, tok, new_scores, new_fin = select(
             logits, st.seen, scores, bufs, *fin, s)
@@ -524,3 +563,124 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
         best_buf.at[jnp.minimum(best_len, max_new - 1)].set(stop), best_buf)
     n_tokens = jnp.where(has_room, best_len + 1, best_len)
     return best_buf, n_tokens
+
+
+def decode_contrastive(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+                       prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+                       max_new: int, top_k: int = 4,
+                       penalty_alpha: float = 0.6,
+                       repetition_penalty: float = 1.0):
+    """Contrastive search — the ``penalty_alpha > 0`` decode mode of the
+    reference's vendored HF generator (layers/stream_generator.py:264-276,
+    366-380; HF ``_contrastive_search``). The last decode mode of that
+    generator's routing table (greedy/sample/beam are already covered).
+
+    HF semantics reproduced per step:
+    * logits of the current hypothesis run through the logits *processors*
+      (repetition penalty over all previously seen ids, fake prefix ids
+      included) then softmax; the top ``top_k`` tokens become candidates,
+    * every candidate is forwarded one step; its degeneration penalty is the
+      max cosine similarity between its post-``ln_f`` hidden state (HF's
+      ``hidden_states[-1]``) and the hidden states of ALL previous positions
+      (prompt included),
+    * candidate score = ``(1 - penalty_alpha) * p(candidate) -
+      penalty_alpha * degeneration_penalty``; argmax wins, its next-step
+      logits seed the following iteration,
+    * generation stops at ``stop_audio_token`` (sequence keeps the stop
+      token) or after ``max_new`` tokens.
+
+    TPU design: the KV cache lives at ``batch == top_k`` the whole time so
+    the per-step candidate fan-out is one batched forward; after selection
+    only the single just-written cache slot differs between rows, so the
+    winner's (k, v) at that slot is broadcast to every row — a two-slice
+    fix-up instead of beam search's full-cache gather. Context hiddens
+    accumulate in a preallocated (P+1+max_new, D) buffer; invalid (padded)
+    prefix positions are masked out of the cosine max.
+
+    ``state`` must be ``init_state`` with ``batch == top_k``;
+    ``prefix_emb``/``prefix_valid`` are the single hypothesis tiled to
+    ``top_k`` rows. Returns (tokens (max_new,), n_tokens) stop-padded,
+    including the stop token when generated.
+    """
+    k = top_k
+    stop = cfg.stop_audio_token
+    neg = jnp.finfo(jnp.float32).min
+
+    filled, _, logits0, h0 = prefill_logits(params, cfg, state, prefix_emb,
+                                            prefix_valid, return_hidden=True)
+    p1 = prefix_emb.shape[1] + 1
+    ctx_cap = p1 + max_new
+    d = prefix_emb.shape[-1]
+    ctx_h = jnp.zeros((ctx_cap, d), jnp.float32).at[:p1].set(h0[0])
+    ctx_valid = jnp.zeros((ctx_cap,), bool).at[:p1].set(
+        jnp.concatenate([prefix_valid[0], jnp.ones((1,), bool)]))
+
+    buf = jnp.full((max_new,), stop, jnp.int32)
+
+    def cond(carry):
+        st, _, _, _, _, _, s, finished = carry
+        return (s < max_new) & ~finished
+
+    def body(carry):
+        st, l, ctx_h, ctx_valid, seen, buf, s, _ = carry
+        # candidate selection: processors -> softmax -> top-k probabilities
+        pl = sampling.apply_repetition_penalty(
+            l[None].astype(jnp.float32), seen[None], repetition_penalty)[0]
+        probs = jax.nn.softmax(pl)
+        cand_p, cand_ids = jax.lax.top_k(probs, k)
+
+        # one batched forward evaluates every candidate
+        st_c = st._replace(last_token=cand_ids)
+        cache_k, cache_v, key_valid, _, cand_logits, cand_h = _decode_forward(
+            params, cfg, st_c)
+
+        # degeneration penalty: max cosine vs all previous hiddens
+        cn = cand_h / jnp.maximum(
+            jnp.linalg.norm(cand_h, axis=-1, keepdims=True), 1e-12)
+        xn = ctx_h / jnp.maximum(
+            jnp.linalg.norm(ctx_h, axis=-1, keepdims=True), 1e-12)
+        sim = xn @ cn.T                                   # (ctx_cap, k)
+        sim = jnp.where(ctx_valid[:, None], sim, neg)
+        degen = jnp.max(sim, axis=0)                      # (k,)
+
+        score = (1.0 - penalty_alpha) * cand_p - penalty_alpha * degen
+        best = jnp.argmax(score)
+        tok = cand_ids[best]
+
+        # cache fix-up: rows differ only at the slot just written — broadcast
+        # the winner's (k, v) there (cur_index is scalar in this driver)
+        idx = st.cur_index
+        z = jnp.int32(0)
+        nl, _, nh, _, hd = cache_k.shape
+        win_k = jax.lax.dynamic_slice(cache_k, (z, best, z, idx, z),
+                                      (nl, 1, nh, 1, hd))
+        win_v = jax.lax.dynamic_slice(cache_v, (z, best, z, idx, z),
+                                      (nl, 1, nh, 1, hd))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, jnp.broadcast_to(win_k, (nl, k, nh, 1, hd)),
+            (z, z, z, idx, z))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, jnp.broadcast_to(win_v, (nl, k, nh, 1, hd)),
+            (z, z, z, idx, z))
+
+        new_st = st._replace(
+            cache_k=cache_k, cache_v=cache_v, key_valid=key_valid,
+            cur_index=st.cur_index + 1, n_generated=st.n_generated + 1,
+            last_token=jnp.broadcast_to(tok, (k,)))
+        l_next = cand_logits[best]
+        ctx_h = jax.lax.dynamic_update_slice(ctx_h, cand_h[best][None],
+                                             (p1 + s, z))
+        ctx_valid = ctx_valid.at[p1 + s].set(True)
+        seen = seen.at[tok].set(True)
+        buf = buf.at[s].set(tok)
+        return (new_st, l_next, ctx_h, ctx_valid, seen, buf, s + 1,
+                tok == stop)
+
+    # candidates at iteration s are the s-th generated tokens -> mel position
+    # s+1 (start_audio holds position 0), so the position counter enters the
+    # loop at 1 (decode_beam/step-0-prefill convention)
+    filled = filled._replace(n_generated=jnp.ones_like(filled.n_generated))
+    carry0 = (filled, logits0[0], ctx_h, ctx_valid, filled.seen[0], buf,
+              jnp.int32(0), jnp.bool_(False))
+    _, _, _, _, _, buf, s, finished = jax.lax.while_loop(cond, body, carry0)
+    return buf, s

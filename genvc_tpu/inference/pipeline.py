@@ -67,9 +67,22 @@ class GenVCPipeline:
     mel_norms: jnp.ndarray
     seed: int = 0
     quantize: Optional[str] = None  # None | "int8" (ops.quant decode weights)
+    kv_cache_dtype: Optional[str] = None  # None | "fp8" (e4m3 KV cache)
 
     def __post_init__(self):
         cfg = self.config
+        # KV-cache storage dtype: every decode step reads the ENTIRE static
+        # cache, so at serving batch the cache read dominates even the weight
+        # stream — "fp8" stores it as float8_e4m3 (half the bf16 traffic;
+        # values upcast to the compute dtype inside attention). Opt-in like
+        # quantize="int8": scores move at the ~1e-2 level.
+        if self.kv_cache_dtype is None:
+            self._cache_dtype = self.gpt_params["mel_embedding"].dtype
+        elif self.kv_cache_dtype == "fp8":
+            self._cache_dtype = jnp.float8_e4m3fn
+        else:
+            raise ValueError(f"unsupported kv_cache_dtype "
+                             f"{self.kv_cache_dtype!r}; supported: 'fp8'")
         self.sample_rate = cfg.audio.sample_rate
         self.content_sample_rate = cfg.audio.content_sample_rate
         self.hifigan_scale_factor = int(
@@ -216,7 +229,7 @@ class GenVCPipeline:
             state = engine.init_state(
                 gcfg, self._prefix_width, text_codes.shape[0], gcfg.heads,
                 gcfg.model_dim // gcfg.heads, rng,
-                cache_dtype=gpt_params["mel_embedding"].dtype,
+                cache_dtype=self._cache_dtype,
                 gen_tokens=self._cache_gen_tokens())
             return engine.prefill(gpt_params, gcfg, state, prefix, valid,
                                   sampler)
@@ -319,13 +332,17 @@ class GenVCPipeline:
             return engine.decode_all(gpt_params, gcfg, state, sampler, max_new)
 
         @functools.partial(jax.jit, static_argnames=(
-            "max_new", "num_beams", "length_penalty"))
+            "max_new", "num_beams", "length_penalty", "do_sample"))
         def beam_fn(gpt_params, cond_latents, text_codes, text_len,
                     prefix_fake_len, rng, max_new, num_beams,
-                    length_penalty=1.0):
-            """Deterministic beam search (reference num_beams>1 decode mode,
+                    length_penalty=1.0, do_sample=False):
+            """Beam search (reference num_beams>1 decode modes,
             HiFiGANTrainer.inference, hifigan_trainer.py:458-470): the single
-            hypothesis is tiled over the engine's batch dim."""
+            hypothesis is tiled over the engine's batch dim. ``do_sample``
+            selects HF beam_sample (multinomial beam search with the
+            sampler's temperature/top-k/top-p warpers) — the mode the
+            reference's ``inference(num_beams>1)`` actually reaches, since
+            its ``do_sample`` defaults to True (hifigan_trainer.py:462)."""
             nb = num_beams
             cond_t = jnp.broadcast_to(
                 cond_latents, (nb,) + cond_latents.shape[1:])
@@ -337,13 +354,39 @@ class GenVCPipeline:
             state = engine.init_state(
                 gcfg, self._prefix_width, nb, gcfg.heads,
                 gcfg.model_dim // gcfg.heads, rng,
-                cache_dtype=gpt_params["mel_embedding"].dtype,
+                cache_dtype=self._cache_dtype,
                 gen_tokens=self._cache_gen_tokens())
             return engine.decode_beam(
                 gpt_params, gcfg, state, prefix, valid, max_new, nb,
                 length_penalty=length_penalty,
                 repetition_penalty=sampler.repetition_penalty,
-                prefix_fake_len=prefix_fake_len)
+                prefix_fake_len=prefix_fake_len, do_sample=do_sample,
+                temperature=sampler.temperature, top_k=sampler.top_k,
+                top_p=sampler.top_p)
+
+        @functools.partial(jax.jit, static_argnames=(
+            "max_new", "top_k", "penalty_alpha"))
+        def contrastive_fn(gpt_params, cond_latents, text_codes, text_len,
+                           rng, max_new, top_k, penalty_alpha):
+            """Contrastive search (reference penalty_alpha>0 decode mode,
+            vendored HF generator stream_generator.py:264-276, 366-380): the
+            single hypothesis is tiled over the engine's candidate batch."""
+            k = top_k
+            cond_t = jnp.broadcast_to(
+                cond_latents, (k,) + cond_latents.shape[1:])
+            codes_t = jnp.broadcast_to(text_codes, (k, text_codes.shape[1]))
+            lens_t = jnp.broadcast_to(text_len, (k,))
+            prefix, valid = gpt_model.build_prefix_emb(
+                gpt_params, gcfg, cond_t, codes_t, lens_t)
+            state = engine.init_state(
+                gcfg, self._prefix_width, k, gcfg.heads,
+                gcfg.model_dim // gcfg.heads, rng,
+                cache_dtype=self._cache_dtype,
+                gen_tokens=self._cache_gen_tokens())
+            return engine.decode_contrastive(
+                gpt_params, gcfg, state, prefix, valid, max_new, top_k=k,
+                penalty_alpha=penalty_alpha,
+                repetition_penalty=sampler.repetition_penalty)
 
         @jax.jit
         def cond_latent_batch_fn(gpt_params, ref_chunks, n_frames_valid,
@@ -391,6 +434,7 @@ class GenVCPipeline:
         self._cond_latent_batch_fn = cond_latent_batch_fn
         self._first_audio_fn = first_audio_fn
         self._beam_fn = beam_fn
+        self._contrastive_fn = contrastive_fn
         self._stream_chunk_batch_fn = stream_chunk_batch_fn
         self._segment_prefill_fn = segment_prefill_fn
         self._stream_chunk_fn = stream_chunk_fn
@@ -510,13 +554,29 @@ class GenVCPipeline:
             jnp.asarray([t_real], jnp.int32), self._next_rng())
 
     def generate_segment_codes(self, codes, n_codes: int, num_beams: int = 1,
-                               length_penalty: float = 1.0):
+                               length_penalty: float = 1.0,
+                               penalty_alpha: float = 0.0,
+                               contrastive_top_k: int = 4,
+                               beam_do_sample: bool = False):
         """AR generation for one segment via the single-dispatch on-device
         while_loop; returns (list of generated tokens incl. the stop token,
-        None). ``num_beams > 1`` switches to deterministic beam search with
-        ``length_penalty`` (the reference HiFiGANTrainer.inference decode
-        surface). Kept for API parity/tests."""
+        None). ``num_beams > 1`` switches to beam search with
+        ``length_penalty`` (``beam_do_sample=True`` = HF beam_sample with
+        the pipeline sampler's warpers — what the reference's
+        ``inference(num_beams>1)`` reaches, do_sample defaulting True);
+        ``penalty_alpha > 0`` (with ``num_beams == 1``) switches to
+        contrastive search over ``contrastive_top_k`` candidates
+        (vendored HF generator modes, stream_generator.py:264-380). Kept for
+        API parity/tests."""
         max_new = self._max_new(n_codes)
+        if num_beams <= 1 and penalty_alpha > 0.0:
+            buf, n_tok = self._contrastive_fn(
+                self.gpt_params, self._cond_latent, codes,
+                jnp.asarray([n_codes], jnp.int32)[0], self._next_rng(),
+                max_new=max_new, top_k=contrastive_top_k,
+                penalty_alpha=float(penalty_alpha))
+            n = int(n_tok)
+            return [int(t) for t in np.asarray(buf)[:n]], None
         if num_beams > 1:
             # HF normalizes by the fake input_ids length: cond latents +
             # [start_text | codes | stop_text] + start_audio
@@ -526,7 +586,7 @@ class GenVCPipeline:
                 jnp.asarray([n_codes], jnp.int32)[0],
                 jnp.float32(prefix_fake_len), self._next_rng(),
                 max_new=max_new, num_beams=num_beams,
-                length_penalty=length_penalty)
+                length_penalty=length_penalty, do_sample=beam_do_sample)
             n = int(n_tok)
             return [int(t) for t in np.asarray(buf)[:n]], None
         state, tok0, lat0 = self._prefill_fn(
@@ -540,8 +600,9 @@ class GenVCPipeline:
     # ------------------------------------------------------------ public API
 
     def synthesize(self, src_wav: np.ndarray, ref_audio: np.ndarray,
-                   num_beams: int = 1, length_penalty: float = 1.0
-                   ) -> np.ndarray:
+                   num_beams: int = 1, length_penalty: float = 1.0,
+                   penalty_alpha: float = 0.0, contrastive_top_k: int = 4,
+                   beam_do_sample: bool = False) -> np.ndarray:
         """Non-streaming VC (reference synthesize_utt, inference_utils.py:24-89).
 
         src_wav: (1, T) @16 kHz; ref_audio: (1, T) @24 kHz -> (T_out,) @24 kHz.
@@ -549,7 +610,9 @@ class GenVCPipeline:
         content+prefill, decode_all while_loop, teacher-forced latent pass;
         then one masked full-utterance vocoder call. ``num_beams > 1``
         decodes each segment with deterministic beam search (the reference
-        HiFiGANTrainer.inference surface, hifigan_trainer.py:458-470).
+        HiFiGANTrainer.inference surface, hifigan_trainer.py:458-470);
+        ``penalty_alpha > 0`` with contrastive search (vendored HF generator
+        mode, stream_generator.py:264-380).
         """
         self._cond_latent = self.get_gpt_cond_latents(ref_audio)
         final_latents = []
@@ -557,10 +620,13 @@ class GenVCPipeline:
             state, tok0, lat0, n_codes_dev, codes = self._start_segment(seg, t_real)
             n_codes = int(n_codes_dev[0])
             max_new = self._max_new(n_codes)
-            if num_beams > 1:
+            if num_beams > 1 or penalty_alpha > 0.0:
                 toks_list, _ = self.generate_segment_codes(
                     codes, n_codes, num_beams=num_beams,
-                    length_penalty=length_penalty)
+                    length_penalty=length_penalty,
+                    penalty_alpha=penalty_alpha,
+                    contrastive_top_k=contrastive_top_k,
+                    beam_do_sample=beam_do_sample)
                 toks_np = np.asarray(toks_list, np.int32)
             else:
                 state, toks, n_gen = self._decode_all_fn(self.gpt_params,
@@ -579,6 +645,11 @@ class GenVCPipeline:
                                   jnp.asarray([n], jnp.int32),
                                   self._cond_latent)
             final_latents.append(np.asarray(lat)[0, :n])
+        if not final_latents:
+            # every segment decoded straight to the stop token (a legal HF
+            # outcome — e.g. beam modes may finalize an empty hypothesis);
+            # return empty audio instead of crashing
+            return np.zeros((0,), np.float32)
         lat_all = np.concatenate(final_latents, axis=0)
         n_lat = lat_all.shape[0]
         w = _bucket(n_lat)
@@ -1113,14 +1184,19 @@ def _handle_chunk(wav_gen: np.ndarray, wav_overlap, overlap_len: int):
 
 
 def model_init(checkpoint_path: str, compute_dtype=jnp.float32,
-               seed: int = 0, quantize: str | None = None) -> GenVCPipeline:
+               seed: int = 0, quantize: str | None = None,
+               kv_cache_dtype: str | None = None) -> GenVCPipeline:
     """Load a GenVC bundle (torch ``.pth`` or converted ``.npz``) and build the
     inference pipeline (reference: inference/model_init.py:7-34).
 
     ``quantize="int8"`` quantizes the GPT decode weights to int8
     (ops.quant) — halves the per-AR-step HBM weight stream and runs the
     contractions on the MXU's 2x int8 path. Opt-in: logits move at the ~1e-2
-    relative level, which can flip sampled tokens vs the bf16 path."""
+    relative level, which can flip sampled tokens vs the bf16 path.
+
+    ``kv_cache_dtype="fp8"`` stores the decode KV cache as float8_e4m3 —
+    halves the per-step cache read, which dominates HBM traffic at serving
+    batch. Opt-in for the same reason; composes with ``quantize``."""
     if checkpoint_path.endswith(".npz"):
         import json, os
         tree = checkpoint.load_pytree_npz(checkpoint_path)
@@ -1132,12 +1208,12 @@ def model_init(checkpoint_path: str, compute_dtype=jnp.float32,
         tree = checkpoint.convert_bundle(checkpoint_path)
     cfg = GenVCConfig.from_dict(tree["config"] or {})
     return build_pipeline(tree, cfg, compute_dtype=compute_dtype, seed=seed,
-                          quantize=quantize)
+                          quantize=quantize, kv_cache_dtype=kv_cache_dtype)
 
 
 def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
-                   seed: int = 0, quantize: str | None = None
-                   ) -> GenVCPipeline:
+                   seed: int = 0, quantize: str | None = None,
+                   kv_cache_dtype: str | None = None) -> GenVCPipeline:
     ma = cfg.model_args
     gpt_cfg = gpt_model.GPTConfig(
         layers=ma.gpt_layers, model_dim=ma.gpt_n_model_channels,
@@ -1208,7 +1284,8 @@ def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
         contentvec_params=jax.tree.map(jnp.asarray, tree["contentvec"]),
         mel_norms=mel_norms,
         seed=seed,
-        quantize=quantize)
+        quantize=quantize,
+        kv_cache_dtype=kv_cache_dtype)
 
 
 def _load_mel_norms(cfg: GenVCConfig):

@@ -80,7 +80,8 @@ def _serving_jits(pipe):
 
     gcfg = pipe.gpt_cfg
     sampler = pipe.sampler
-    cache_dtype = pipe.gpt_params["mel_embedding"].dtype
+    cache_dtype = getattr(pipe, "_cache_dtype",
+                          pipe.gpt_params["mel_embedding"].dtype)
 
     @jax.jit
     def row_prefill(cv_params, cd_params, gpt_params, cond, seg16k,
@@ -164,7 +165,8 @@ class StreamServer:
         self._slot_custom = [False] * self.slots
 
         gcfg = pipe.gpt_cfg
-        cache_dtype = pipe.gpt_params["mel_embedding"].dtype
+        cache_dtype = getattr(pipe, "_cache_dtype",
+                              pipe.gpt_params["mel_embedding"].dtype)
 
         pool = engine.init_state(
             gcfg, pipe._prefix_width, self.slots, gcfg.heads,

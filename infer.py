@@ -34,10 +34,20 @@ def main():
                              "(default: <output_path stem>_<i>.wav)")
     parser.add_argument("--top_k", type=int, default=15)
     parser.add_argument("--num_beams", type=int, default=1,
-                        help="deterministic beam search for non-streaming "
-                             "synthesis (reference HiFiGANTrainer.inference "
-                             "surface); 1 = sampling")
+                        help="beam search for non-streaming synthesis "
+                             "(reference HiFiGANTrainer.inference surface); "
+                             "1 = sampling")
+    parser.add_argument("--beam_do_sample", action="store_true",
+                        help="with --num_beams>1: HF beam_sample "
+                             "(multinomial beam search with the sampling "
+                             "warpers — the reference inference() default "
+                             "do_sample=True path)")
     parser.add_argument("--length_penalty", type=float, default=1.0)
+    parser.add_argument("--penalty_alpha", type=float, default=0.0,
+                        help="contrastive search for non-streaming synthesis "
+                             "(vendored HF generator mode; candidates from "
+                             "--contrastive_top_k); 0 = off")
+    parser.add_argument("--contrastive_top_k", type=int, default=4)
     parser.add_argument("--streaming", action="store_true")
     parser.add_argument("--serve", type=int, default=0, metavar="SLOTS",
                         help="with --src_wavs --streaming: run the sources "
@@ -52,6 +62,12 @@ def main():
                         help="int8-quantize the GPT decode weights (halves "
                              "the per-step HBM weight stream; logits move at "
                              "the ~1e-2 level vs full precision)")
+    parser.add_argument("--kv_cache", type=str, default=None,
+                        choices=["fp8"],
+                        help="store the decode KV cache as float8_e4m3 "
+                             "(halves the per-step cache read — the dominant "
+                             "HBM stream at serving batch; scores move at "
+                             "the ~1e-2 level)")
     args = parser.parse_args()
 
     import os
@@ -75,7 +91,8 @@ def main():
         sys.exit(1)
     pipe = model_init(args.model_path,
                       compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                      seed=args.seed, quantize=args.quantize)
+                      seed=args.seed, quantize=args.quantize,
+                      kv_cache_dtype=args.kv_cache)
     # top_k is the main inference quality knob; greedy (top_k=1) is preferred
     # for streaming (reference README.md:52)
     pipe.sampler = pipe.sampler.__class__(
@@ -140,8 +157,15 @@ def main():
         wav, latency, rtf = pipe.synthesize_streaming(src_wav, ref_audio)
     else:
         wav = pipe.synthesize(src_wav, ref_audio, num_beams=args.num_beams,
-                              length_penalty=args.length_penalty)
+                              length_penalty=args.length_penalty,
+                              penalty_alpha=args.penalty_alpha,
+                              contrastive_top_k=args.contrastive_top_k,
+                              beam_do_sample=args.beam_do_sample)
 
+    if wav.shape[-1] == 0:
+        print("decode produced no audio tokens (model generated only the "
+              "stop token); no output written", file=sys.stderr)
+        sys.exit(1)
     write_wav(args.output_path, wav, pipe.sample_rate)
     print(f"wrote {args.output_path}")
 

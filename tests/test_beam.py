@@ -84,11 +84,12 @@ def _numpy_beam(step_logits, *, num_beams, length_penalty, rep_pen, max_new,
         cands = []
         for toks, sc in zip(seqs, scores):
             logits = step_logits(toks)
+            # HF beam modes apply the repetition-penalty processor to the
+            # log-softmaxed scores (not the raw logits)
+            logp = log_softmax(logits)
             seen = set(base_seen) | set(toks)
-            pl = logits.copy()
             for t in seen:
-                pl[t] = pl[t] * rep_pen if pl[t] < 0 else pl[t] / rep_pen
-            logp = log_softmax(pl)
+                logp[t] = logp[t] * rep_pen if logp[t] < 0 else logp[t] / rep_pen
             for t in np.argsort(-logp)[: 2 * num_beams]:
                 cands.append((sc + logp[t], toks, int(t)))
         cands.sort(key=lambda c: -c[0])
@@ -141,6 +142,136 @@ def test_decode_beam_matches_numpy_reference(model, num_beams,
         step_logits, num_beams=nb, length_penalty=length_penalty,
         rep_pen=rep_pen, max_new=max_new, prefix_fake_len=prefix_fake_len,
         stop=cfg.stop_audio_token, base_seen=base_seen)
+    assert got == want
+
+
+def _hf_top_p(warped, top_p):
+    """HF TopPLogitsWarper rule per row (min_tokens_to_keep=1); rows with no
+    finite entry pass through (engine's masked comparisons do the same)."""
+    out = warped.copy()
+    for i in range(out.shape[0]):
+        row = out[i]
+        if not np.isfinite(row).any():
+            continue
+        asc = np.sort(row)
+        e = np.exp(asc - np.max(asc[np.isfinite(asc)]))
+        cum = np.cumsum(e / e.sum())
+        keep = cum > (1.0 - top_p)
+        keep[-1] = True
+        cutoff = asc[keep].min()
+        row[row < cutoff] = -np.inf
+    return out
+
+
+def _numpy_beam_sample(step_logits, *, num_beams, length_penalty, rep_pen,
+                       temp, top_k_warp, top_p, max_new, prefix_fake_len,
+                       stop, base_seen, noise_fn, vocab):
+    """Independent HF ``beam_sample`` on raw per-step logits: warpers applied
+    to the score-added log-probs, candidates drawn by Gumbel-top-k with the
+    SAME noise the engine uses (``noise_fn(s)``), sorted by warped score."""
+    def log_softmax(x):
+        m = x.max()
+        e = np.exp(x - m)
+        return (x - m) - np.log(e.sum())
+
+    nb = num_beams
+    seqs = [[] for _ in range(nb)]
+    scores = np.full((nb,), -np.inf)
+    scores[0] = 0.0
+    finished = []
+    s = 0
+    while s < max_new:
+        if len(finished) >= nb:
+            top_fin = sorted(finished, key=lambda x: -x[0])[:nb]
+            best_possible = scores.max() / (
+                max(prefix_fake_len + s, 1.0) ** length_penalty)
+            if top_fin[-1][0] >= best_possible:
+                break
+        cand = np.full((nb, vocab), -np.inf)
+        for i in range(nb):
+            if not np.isfinite(scores[i]):
+                continue
+            logp = log_softmax(step_logits(seqs[i]))
+            seen = set(base_seen) | set(seqs[i])
+            for t in seen:
+                logp[t] = logp[t] * rep_pen if logp[t] < 0 else logp[t] / rep_pen
+            cand[i] = scores[i] + logp
+        warped = cand / temp
+        if top_k_warp > 0:
+            for i in range(nb):
+                kth = np.sort(warped[i])[-top_k_warp]
+                warped[i][warped[i] < kth] = -np.inf
+        if top_p < 1.0:
+            warped = _hf_top_p(warped, top_p)
+        flat = warped.reshape(-1)
+        noisy = flat + noise_fn(s)
+        drawn = np.argsort(-noisy, kind="stable")[: 2 * nb]
+        dscores = flat[drawn]
+        order = np.argsort(-dscores, kind="stable")
+        top_idx, top_scores = drawn[order], dscores[order]
+
+        next_seqs, next_scores = [], []
+        for rank in range(2 * nb):
+            parent, t = divmod(int(top_idx[rank]), vocab)
+            sc = float(top_scores[rank])
+            if t == stop:
+                if rank < nb:
+                    norm = max(prefix_fake_len + s, 1.0) ** length_penalty
+                    finished.append((sc / norm, list(seqs[parent]), s))
+                continue
+            if len(next_seqs) < nb:
+                next_seqs.append(list(seqs[parent]) + [t])
+                next_scores.append(sc)
+        seqs = next_seqs
+        scores = np.asarray(next_scores)
+        s += 1
+    for toks, sc in zip(seqs, scores):
+        norm = max(prefix_fake_len + s, 1.0) ** length_penalty
+        finished.append((sc / norm, list(toks), s))
+    finished.sort(key=lambda x: -x[0])
+    return finished[0]
+
+
+@pytest.mark.parametrize("num_beams,temp,top_k_warp,top_p,lp,rep_pen",
+                         [(2, 1.3, 8, 1.0, 1.0, 1.0),
+                          (3, 0.9, 0, 0.9, 1.8, 2.0)])
+def test_decode_beam_sample_matches_numpy_reference(model, num_beams, temp,
+                                                    top_k_warp, top_p, lp,
+                                                    rep_pen):
+    """HF beam_sample (do_sample=True, num_beams>1) parity: engine vs numpy
+    oracle consuming the identical Gumbel noise sequence."""
+    cfg, params, cond, text, text_len, prefix, valid = model
+    max_new = 12
+    prefix_fake_len = prefix.shape[1] + 1
+    v = cfg.num_audio_tokens
+
+    nb = num_beams
+    key = jax.random.key(42)
+    prefix_t = jnp.broadcast_to(prefix, (nb,) + prefix.shape[1:])
+    valid_t = jnp.broadcast_to(valid, (nb, valid.shape[1]))
+    state = engine.init_state(cfg, prefix.shape[1], nb, cfg.heads,
+                              cfg.model_dim // cfg.heads, key,
+                              cache_dtype=jnp.float32)
+    fn = jax.jit(lambda p, st, pe, pv: engine.decode_beam(
+        p, cfg, st, pe, pv, max_new=max_new, num_beams=nb,
+        length_penalty=lp, repetition_penalty=rep_pen,
+        prefix_fake_len=prefix_fake_len, do_sample=True, temperature=temp,
+        top_k=top_k_warp, top_p=top_p))
+    buf, n_tok = fn(params, state, prefix_t, valid_t)
+    got = list(np.asarray(buf)[: int(n_tok)])
+    if got and got[-1] == cfg.stop_audio_token:
+        got = got[:-1]
+
+    def noise_fn(s):
+        return np.asarray(jax.random.gumbel(
+            jax.random.fold_in(key, s), (nb * v,), jnp.float32), np.float64)
+
+    step_logits = _make_step_logits(cfg, params, prefix, valid, max_new)
+    _, want, _ = _numpy_beam_sample(
+        step_logits, num_beams=nb, length_penalty=lp, rep_pen=rep_pen,
+        temp=temp, top_k_warp=top_k_warp, top_p=top_p, max_new=max_new,
+        prefix_fake_len=prefix_fake_len, stop=cfg.stop_audio_token,
+        base_seen={1, cfg.start_audio_token}, noise_fn=noise_fn, vocab=v)
     assert got == want
 
 

@@ -427,3 +427,17 @@ def test_window_accounting_edges():
         [7] * 15 + [stop], n_total=9, max_new=602, stop=stop, carry_n=0,
         win=8)
     assert (eos_j, n_valid, full, rem) == (15, 16, 2, 0)
+
+
+def test_synthesize_all_stop_returns_empty(pipe, monkeypatch):
+    """Every segment decoding straight to the stop token (legal HF outcome —
+    beam modes may finalize an empty hypothesis) returns empty audio instead
+    of crashing on an empty latent concat."""
+    stop = pipe.gpt_cfg.stop_audio_token
+    monkeypatch.setattr(pipe, "generate_segment_codes",
+                        lambda codes, n_codes, **kw: ([stop], None))
+    rng = np.random.default_rng(3)
+    src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    wav = pipe.synthesize(src, ref, num_beams=2)
+    assert wav.shape == (0,) and wav.dtype == np.float32
