@@ -361,6 +361,223 @@ def load_pytree_npz(path: str) -> dict:
     return fix2(tree)
 
 
+# ---------------------------------------------------------------------------
+# Export: genvc_tpu pytrees → reference ``.pth`` bundles (inverse of
+# convert_bundle). A model trained on this framework exports to the exact
+# state-dict naming the reference's HiFiGANTrainer composition loads
+# (inference/model_init.py:11-22, trainers/*.py key-remap loaders), so TPU
+# checkpoints deploy anywhere the reference runs.
+
+
+def _unfold_weight_norm(w: np.ndarray, dim: int = 0):
+    """Reparametrize a folded weight back to torch ``weight_norm``'s (g, v):
+    v = w and g = ||w|| over every axis except ``dim`` — folding (g, v)
+    reproduces w exactly."""
+    w = np.asarray(w, np.float32)
+    axes = tuple(i for i in range(w.ndim) if i != dim)
+    g = np.sqrt(np.sum(w * w, axis=axes, keepdims=True))
+    return g, w
+
+
+def _put_linear_t(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["w"], np.float32).T
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+
+def _put_linear_asis(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["w"], np.float32)
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+
+def _put_ln(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["scale"], np.float32)
+    sd[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _put_conv(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["w"], np.float32)
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+
+def _put_wn_conv(sd, prefix, p, dim: int = 0):
+    """Emit torch ``weight_norm`` (weight_g, weight_v) keys from either a
+    training-form {g, v} leaf or a folded inference-form {w} leaf."""
+    if "g" in p:
+        g, v = np.asarray(p["g"], np.float32), np.asarray(p["v"], np.float32)
+    else:
+        g, v = _unfold_weight_norm(p["w"], dim=dim)
+    sd[prefix + ".weight_g"] = g
+    sd[prefix + ".weight_v"] = v
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+
+def _unstack(node):
+    """Inverse of the converters' ``stack``: a pytree of (L, ...) leaves →
+    list of L pytrees."""
+    leaves = []
+
+    def first_leaf(n):
+        if isinstance(n, dict):
+            return first_leaf(next(iter(n.values())))
+        return n
+
+    n_layers = np.asarray(first_leaf(node)).shape[0]
+
+    def take(n, i):
+        if isinstance(n, dict):
+            return {k: take(v, i) for k, v in n.items()}
+        return np.asarray(n)[i]
+
+    return [take(node, i) for i in range(n_layers)]
+
+
+def export_perceiver(params: dict) -> dict:
+    sd: dict = {}
+    _put_linear_t(sd, "proj_context", params["proj_context"])
+    sd["latents"] = np.asarray(params["latents"], np.float32)
+    sd["norm.gamma"] = np.asarray(params["norm"]["gamma"], np.float32)
+    for i, layer in enumerate(_unstack(params["layers"])):
+        a, f = f"layers.{i}.0.", f"layers.{i}.1."
+        _put_linear_t(sd, a + "to_q", layer["to_q"])
+        _put_linear_t(sd, a + "to_kv", layer["to_kv"])
+        _put_linear_t(sd, a + "to_out", layer["to_out"])
+        _put_linear_t(sd, f + "0", layer["ff_in"])
+        _put_linear_t(sd, f + "2", layer["ff_out"])
+    return sd
+
+
+def export_gpt(params: dict) -> dict:
+    """Inverse of :func:`convert_gpt` — keys relative to the bundle's
+    ``gpt.`` module (layers/gpt.py naming; no wte/wpe: the reference deletes
+    both from its GPT2Model, gpt.py:68-71)."""
+    sd: dict = {}
+    sd["text_embedding.weight"] = np.asarray(params["text_embedding"], np.float32)
+    sd["mel_embedding.weight"] = np.asarray(params["mel_embedding"], np.float32)
+    sd["text_pos_embedding.emb.weight"] = np.asarray(params["text_pos"], np.float32)
+    sd["mel_pos_embedding.emb.weight"] = np.asarray(params["mel_pos"], np.float32)
+    for i, blk in enumerate(_unstack(params["core"]["blocks"])):
+        p = f"gpt.h.{i}."
+        _put_ln(sd, p + "ln_1", blk["ln_1"])
+        _put_linear_asis(sd, p + "attn.c_attn", blk["attn"]["c_attn"])
+        _put_linear_asis(sd, p + "attn.c_proj", blk["attn"]["c_proj"])
+        _put_ln(sd, p + "ln_2", blk["ln_2"])
+        _put_linear_asis(sd, p + "mlp.c_fc", blk["mlp"]["c_fc"])
+        _put_linear_asis(sd, p + "mlp.c_proj", blk["mlp"]["c_proj"])
+    _put_ln(sd, "gpt.ln_f", params["core"]["ln_f"])
+    _put_ln(sd, "final_norm", params["final_norm"])
+    _put_linear_t(sd, "text_head", params["text_head"])
+    _put_linear_t(sd, "mel_head", params["mel_head"])
+    for k, v in export_perceiver(params["perceiver"]).items():
+        sd["conditioning_perceiver." + k] = v
+    return sd
+
+
+def export_dvae(params: dict) -> dict:
+    sd: dict = {}
+    enc, dec = params["encoder"], params["decoder"]
+    num_layers = len(enc["convs"])
+    num_resnet_blocks = len(enc["resblocks"])
+
+    def put_resblock(prefix, rb):
+        _put_conv(sd, prefix + "net.0", rb["conv1"])
+        _put_conv(sd, prefix + "net.2", rb["conv2"])
+        _put_conv(sd, prefix + "net.4", rb["conv3"])
+
+    for i, c in enumerate(enc["convs"]):
+        _put_conv(sd, f"encoder.{i}.0", c)
+    for j, rb in enumerate(enc["resblocks"]):
+        put_resblock(f"encoder.{num_layers + j}.", rb)
+    _put_conv(sd, f"encoder.{num_layers + num_resnet_blocks}", enc["out"])
+
+    _put_conv(sd, "decoder.0", dec["inp"])
+    for j, rb in enumerate(dec["resblocks"]):
+        put_resblock(f"decoder.{1 + j}.", rb)
+    for i, c in enumerate(dec["ups"]):
+        _put_conv(sd, f"decoder.{1 + num_resnet_blocks + i}.0.conv", c)
+    _put_conv(sd, f"decoder.{1 + num_resnet_blocks + num_layers}", dec["out"])
+
+    cb = params["codebook"]
+    sd["codebook.embed"] = np.asarray(cb["embed"], np.float32)
+    sd["codebook.cluster_size"] = np.asarray(cb["cluster_size"], np.float32)
+    sd["codebook.embed_avg"] = np.asarray(cb["embed_avg"], np.float32)
+    return sd
+
+
+def export_hifigan(params: dict) -> dict:
+    """Accepts the training form ({g, v, b} leaves) or the folded inference
+    form ({w, b}); emits torch weight_norm keys either way."""
+    sd: dict = {}
+    _put_wn_conv(sd, "conv_pre", params["conv_pre"])
+    for i, u in enumerate(params["ups"]):
+        _put_wn_conv(sd, f"ups.{i}", u)
+    for i, rb in enumerate(params["resblocks"]):
+        for j, c in enumerate(rb["convs"]):
+            _put_wn_conv(sd, f"resblocks.{i}.convs.{j}", c)
+    _put_wn_conv(sd, "conv_post", params["conv_post"])
+    return sd
+
+
+def export_contentvec(params: dict) -> dict:
+    sd: dict = {}
+    for i, layer in enumerate(params["feature_extractor"]):
+        p = f"feature_extractor.conv_layers.{i}."
+        _put_conv(sd, p + "0", layer["conv"])
+        if "norm" in layer:
+            sd[p + "2.weight"] = np.asarray(layer["norm"]["scale"], np.float32)
+            sd[p + "2.bias"] = np.asarray(layer["norm"]["bias"], np.float32)
+    _put_linear_t(sd, "post_extract_proj", params["post_extract_proj"])
+    # fairseq pos_conv is weight_norm(dim=2)
+    g, v = _unfold_weight_norm(params["pos_conv"]["w"], dim=2)
+    sd["encoder.pos_conv.0.weight_g"] = g
+    sd["encoder.pos_conv.0.weight_v"] = v
+    sd["encoder.pos_conv.0.bias"] = np.asarray(params["pos_conv"]["b"],
+                                               np.float32)
+    _put_ln(sd, "layer_norm", params["pre_ln"])
+    _put_ln(sd, "encoder.layer_norm", params["encoder_ln"])
+    for i, layer in enumerate(_unstack(params["layers"])):
+        p = f"encoder.layers.{i}."
+        _put_linear_t(sd, p + "self_attn.q_proj", layer["attn"]["q"])
+        _put_linear_t(sd, p + "self_attn.k_proj", layer["attn"]["k"])
+        _put_linear_t(sd, p + "self_attn.v_proj", layer["attn"]["v"])
+        _put_linear_t(sd, p + "self_attn.out_proj", layer["attn"]["out"])
+        _put_ln(sd, p + "self_attn_layer_norm", layer["attn_ln"])
+        _put_linear_t(sd, p + "fc1", layer["fc1"])
+        _put_linear_t(sd, p + "fc2", layer["fc2"])
+        _put_ln(sd, p + "final_layer_norm", layer["final_ln"])
+    _put_linear_t(sd, "final_proj", params["final_proj"])
+    return sd
+
+
+def export_bundle(tree: dict, path: str) -> None:
+    """Inverse of :func:`convert_bundle`: write a reference-format ``.pth``
+    bundle ``{'model': state_dict, 'config': dict}`` from genvc_tpu pytrees.
+    Families present in ``tree`` (gpt / hifigan / acoustic_dvae /
+    content_dvae / contentvec) are emitted under the reference's composed
+    prefixes; the config dict is embedded verbatim."""
+    import torch
+
+    sd: dict = {}
+    if tree.get("gpt") is not None:
+        for k, v in export_gpt(tree["gpt"]).items():
+            sd["gpt." + k] = v
+    if tree.get("hifigan") is not None:
+        for k, v in export_hifigan(tree["hifigan"]).items():
+            sd["hifigan." + k] = v
+    for name in ("acoustic_dvae", "content_dvae"):
+        if tree.get(name) is not None:
+            for k, v in export_dvae(tree[name]).items():
+                sd[f"{name}." + k] = v
+    if tree.get("contentvec") is not None:
+        for k, v in export_contentvec(tree["contentvec"]).items():
+            sd["content_extractor.model." + k] = v
+    model = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    torch.save({"model": model, "config": tree.get("config")}, path)
+
+
 def hf_hubert_to_fairseq_sd(hf_sd: dict) -> dict:
     """Map a transformers ``HubertModel`` state dict onto fairseq HuBERT key
     names so :func:`convert_contentvec` can consume it (used for the
