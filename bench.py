@@ -241,6 +241,26 @@ def main():
         except Exception as e:  # never let the extra kill the headline
             print(f"int8 bench skipped: {e}", file=sys.stderr)
 
+    # fp8 KV-cache comparison (BENCH_FP8KV=1 to enable; off by default —
+    # measured throughput-neutral on this tunnel setup, see ROUND3_NOTES):
+    # B=16 lockstep aggregate RTF, fp8 cache vs the bf16 pipeline above
+    fp8kv_section = None
+    if os.environ.get("BENCH_FP8KV", "0") == "1":
+        try:
+            pipe_8 = build_random_pipeline(dtype, kv_cache_dtype="fp8")
+            pipe_8.warmup(streaming=True)
+            srcs, refs = [src] * 16, [ref] * 16
+            pipe_8.synthesize_streaming_batch(srcs, refs, verbose=False)
+            runs = [pipe_8.synthesize_streaming_batch(srcs, refs,
+                                                      verbose=False)[2]
+                    for _ in range(3)]
+            agg = float(np.median(runs))
+            fp8kv_section = {"rtf_aggregate_b16": round(agg, 4),
+                             "rtf_per_stream_b16": round(agg * 16, 4)}
+            del pipe_8
+        except Exception as e:  # never let the extra kill the headline
+            print(f"fp8 KV bench skipped: {e}", file=sys.stderr)
+
     # the dev tunnel occasionally hiccups for hundreds of ms; the median is
     # the robust central tendency (min/max/avg all reported alongside)
     rtf_med = float(np.median(rtfs))
@@ -267,6 +287,7 @@ def main():
         "max_realtime_streams": max_rt_streams,
         "serving": serving,
         "int8": int8_section,
+        "fp8_kv": fp8kv_section,
         "warmup_s": round(warmup_s, 1),
         # sub-phase breakdown of the worst-latency run (tail diagnostics):
         # host_prep -> first_dispatch -> first_fetch, all ms since call start

@@ -460,9 +460,13 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
                                                  repetition_penalty)
         cand = scores[:, None] + logp                     # (nb, V)
         if do_sample:
+            # HF beam-mode warpers keep at least 2*num_beams tokens per row
+            # (min_tokens_to_keep) so the 2N draws never hit -inf candidates
             warped = sampling.apply_temperature(cand, temperature)
-            warped = sampling.apply_top_k(warped, top_k)
-            warped = sampling.apply_top_p(warped, top_p)
+            warped = sampling.apply_top_k(warped, top_k,
+                                          min_tokens_to_keep=2 * nb)
+            warped = sampling.apply_top_p(warped, top_p,
+                                          min_tokens_to_keep=2 * nb)
             flat = warped.reshape(-1)
             g = jax.random.gumbel(jax.random.fold_in(sample_rng, s),
                                   flat.shape, jnp.float32)

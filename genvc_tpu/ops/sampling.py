@@ -41,17 +41,24 @@ def apply_temperature(logits: jnp.ndarray, temperature: float) -> jnp.ndarray:
     return logits / temperature
 
 
-def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+def apply_top_k(logits: jnp.ndarray, k: int,
+                min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """HF TopKLogitsWarper; beam modes pass ``min_tokens_to_keep=2*num_beams``
+    (the warper keeps at least that many candidates so the 2N beam draws
+    never run out of finite scores)."""
     if k <= 0:
         return logits
-    k = min(k, logits.shape[-1])
+    k = min(max(k, min_tokens_to_keep), logits.shape[-1])
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
-def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+def apply_top_p(logits: jnp.ndarray, p: float,
+                min_tokens_to_keep: int = 1) -> jnp.ndarray:
     """HF TopPLogitsWarper: keep the smallest set of tokens whose cumulative
-    probability exceeds p (the token crossing the threshold is kept)."""
+    probability exceeds p (the token crossing the threshold is kept); at
+    least ``min_tokens_to_keep`` top tokens always survive (2*num_beams in
+    beam modes)."""
     if p >= 1.0:
         return logits
     sorted_logits = jnp.sort(logits, axis=-1)  # ascending
@@ -60,8 +67,9 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     # HF removes tokens with cumulative probability (from the top) > p:
     # in ascending order, remove sorted tokens with cum <= 1 - p
     sorted_keep = cum > (1.0 - p)
-    # min_tokens_to_keep=1: always keep the argmax (last in ascending order)
-    sorted_keep = sorted_keep.at[..., -1].set(True)
+    # always keep the top min_tokens_to_keep (last in ascending order)
+    keep = min(max(min_tokens_to_keep, 1), logits.shape[-1])
+    sorted_keep = sorted_keep.at[..., -keep:].set(True)
     cutoff = jnp.min(jnp.where(sorted_keep, sorted_logits, jnp.inf), axis=-1,
                      keepdims=True)
     return jnp.where(logits < cutoff, -jnp.inf, logits)

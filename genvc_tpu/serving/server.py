@@ -80,8 +80,7 @@ def _serving_jits(pipe):
 
     gcfg = pipe.gpt_cfg
     sampler = pipe.sampler
-    cache_dtype = getattr(pipe, "_cache_dtype",
-                          pipe.gpt_params["mel_embedding"].dtype)
+    cache_dtype = pipe._cache_dtype
 
     @jax.jit
     def row_prefill(cv_params, cd_params, gpt_params, cond, seg16k,
@@ -165,8 +164,7 @@ class StreamServer:
         self._slot_custom = [False] * self.slots
 
         gcfg = pipe.gpt_cfg
-        cache_dtype = getattr(pipe, "_cache_dtype",
-                              pipe.gpt_params["mel_embedding"].dtype)
+        cache_dtype = pipe._cache_dtype
 
         pool = engine.init_state(
             gcfg, pipe._prefix_width, self.slots, gcfg.heads,

@@ -141,10 +141,17 @@ def main():
         if len(outs) != len(wavs):
             print("--output_paths must match --src_wavs", file=sys.stderr)
             sys.exit(1)
+        failures = 0
         for path, wav in zip(outs, wavs):
+            if wav.shape[-1] == 0:
+                print(f"{path}: decode produced no audio tokens (model "
+                      "generated only the stop token); not written",
+                      file=sys.stderr)
+                failures += 1
+                continue
             write_wav(path, wav, pipe.sample_rate)
             print(f"wrote {path}")
-        return
+        sys.exit(1 if failures == len(wavs) else 0)
 
     src_wav = load_audio(args.src_wav, pipe.content_sample_rate)
     ref_audio = load_audio(args.ref_audio, pipe.sample_rate)

@@ -145,9 +145,10 @@ def test_decode_beam_matches_numpy_reference(model, num_beams,
     assert got == want
 
 
-def _hf_top_p(warped, top_p):
-    """HF TopPLogitsWarper rule per row (min_tokens_to_keep=1); rows with no
-    finite entry pass through (engine's masked comparisons do the same)."""
+def _hf_top_p(warped, top_p, min_keep):
+    """HF TopPLogitsWarper rule per row (min_tokens_to_keep=min_keep); rows
+    with no finite entry pass through (engine's masked comparisons do the
+    same)."""
     out = warped.copy()
     for i in range(out.shape[0]):
         row = out[i]
@@ -157,7 +158,7 @@ def _hf_top_p(warped, top_p):
         e = np.exp(asc - np.max(asc[np.isfinite(asc)]))
         cum = np.cumsum(e / e.sum())
         keep = cum > (1.0 - top_p)
-        keep[-1] = True
+        keep[-min_keep:] = True
         cutoff = asc[keep].min()
         row[row < cutoff] = -np.inf
     return out
@@ -198,11 +199,13 @@ def _numpy_beam_sample(step_logits, *, num_beams, length_penalty, rep_pen,
             cand[i] = scores[i] + logp
         warped = cand / temp
         if top_k_warp > 0:
+            # HF beam-mode warpers: min_tokens_to_keep = 2*num_beams
+            k_eff = max(top_k_warp, 2 * nb)
             for i in range(nb):
-                kth = np.sort(warped[i])[-top_k_warp]
+                kth = np.sort(warped[i])[-k_eff]
                 warped[i][warped[i] < kth] = -np.inf
         if top_p < 1.0:
-            warped = _hf_top_p(warped, top_p)
+            warped = _hf_top_p(warped, top_p, 2 * nb)
         flat = warped.reshape(-1)
         noisy = flat + noise_fn(s)
         drawn = np.argsort(-noisy, kind="stable")[: 2 * nb]
@@ -234,7 +237,10 @@ def _numpy_beam_sample(step_logits, *, num_beams, length_penalty, rep_pen,
 
 @pytest.mark.parametrize("num_beams,temp,top_k_warp,top_p,lp,rep_pen",
                          [(2, 1.3, 8, 1.0, 1.0, 1.0),
-                          (3, 0.9, 0, 0.9, 1.8, 2.0)])
+                          (3, 0.9, 0, 0.9, 1.8, 2.0),
+                          # top_k=1 < 2*nb: min_tokens_to_keep floor active
+                          # (the README-recommended top_k for quality)
+                          (2, 1.0, 1, 1.0, 1.0, 1.0)])
 def test_decode_beam_sample_matches_numpy_reference(model, num_beams, temp,
                                                     top_k_warp, top_p, lp,
                                                     rep_pen):
