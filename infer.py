@@ -68,6 +68,9 @@ def main():
                              "(halves the per-step cache read — the dominant "
                              "HBM stream at serving batch; scores move at "
                              "the ~1e-2 level)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the synthesis "
+                             "into DIR (view with tensorboard/xprof)")
     args = parser.parse_args()
 
     import os
@@ -100,6 +103,14 @@ def main():
         top_p=pipe.sampler.top_p,
         repetition_penalty=pipe.sampler.repetition_penalty)
     pipe._build_jits()
+
+    if args.profile:
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        atexit.register(jax.profiler.stop_trace)  # covers every exit path
 
     if args.src_wavs:
         refs_paths = args.ref_audios or [args.ref_audio]
