@@ -236,3 +236,33 @@ def test_per_stream_sampler(pipe):
     wav_b, stats_b = server.result(sid_b)
     assert wav_b.shape[0] > 0
     assert np.all(np.isfinite(wav_b)) and np.max(np.abs(wav_b)) <= 1.0
+
+
+def test_server_soak_many_streams(pipe):
+    """Soak: 6x oversubscription through a 4-slot pool with varying stream
+    lengths — exercises slot reuse, epoch bookkeeping, and queue waits far
+    past the handful-of-streams cases above. Every stream must complete with
+    finite audio matching its own single-stream reference output."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(77)
+    srcs = []
+    for i in range(24):
+        n = [4000, 8000, 12000][i % 3]
+        srcs.append((rng.standard_normal((1, n)) * 0.1).astype(np.float32))
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+
+    server = StreamServer(pipe, slots=4)
+    sids = [server.submit(s, ref) for s in srcs]
+    server.drain()
+    assert len(server._free) == server.slots  # no leaked slots
+    assert not server._queue and not server._slot_map
+
+    # independent single-stream references (greedy -> deterministic)
+    for sid, src in zip(sids, srcs):
+        wav, stats = server.pop_result(sid)
+        assert stats["latency_s"] is None or stats["latency_s"] >= 0
+        want, _, _ = pipe.synthesize_streaming(src, ref, verbose=False)
+        assert wav.shape == want.shape
+        np.testing.assert_allclose(wav, want, atol=2e-4)
+    assert not server._results
