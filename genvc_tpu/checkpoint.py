@@ -557,7 +557,13 @@ def export_bundle(tree: dict, path: str) -> None:
     bundle ``{'model': state_dict, 'config': dict}`` from genvc_tpu pytrees.
     Families present in ``tree`` (gpt / hifigan / acoustic_dvae /
     content_dvae / contentvec) are emitted under the reference's composed
-    prefixes; the config dict is embedded verbatim."""
+    prefixes; the config dict is embedded verbatim.
+
+    The same format doubles as the reference's *stage* checkpoints: its
+    trainers strip the family prefix from a ``{'model': ...}`` bundle
+    (gpt_trainer.py:124-140, hifigan_trainer.py:169-185, VAE_trainer.py:
+    65-79), so e.g. an export with only ``gpt`` present loads as the frozen
+    GPT checkpoint of the reference's vocoder stage."""
     import torch
 
     sd: dict = {}
