@@ -162,6 +162,12 @@ class StreamServer:
         # slots whose stream carries a custom SamplerConfig — when none do,
         # ticks dispatch the scalar-sampler trace (cheaper warper chain)
         self._slot_custom = [False] * self.slots
+        # aggregate pool counters (metrics())
+        self._n_ticks = 0
+        self._occupancy_sum = 0
+        self._n_admissions = 0
+        self._n_completed = 0
+        self._n_cancelled = 0
 
         gcfg = pipe.gpt_cfg
         cache_dtype = pipe._cache_dtype
@@ -298,6 +304,7 @@ class StreamServer:
                 continue
             slot = self._free.pop(0)
             self._slot_map[slot] = stream
+            self._n_admissions += 1
             self._start_segment(stream, slot)
 
     def cancel(self, sid: int):
@@ -312,6 +319,8 @@ class StreamServer:
 
     def _dispatch_tick(self):
         pipe = self.pipe
+        self._n_ticks += 1
+        self._occupancy_sum += len(self._slot_map)
         k = STREAM_CHUNK
         # the common all-default pool ticks through the scalar-sampler trace
         # (identity warpers elided at trace time); per-row params are only
@@ -423,6 +432,9 @@ class StreamServer:
             "callback_error": s.callback_error,
             "cancelled": cancelled,
         })
+        self._n_completed += 1
+        if cancelled:
+            self._n_cancelled += 1
         self._cancelled.discard(s.sid)
 
     def _advance(self, s: _Stream, slot: int):
@@ -456,3 +468,20 @@ class StreamServer:
         """Like :meth:`result` but releases the stored wav — call this in a
         long-running server so retired streams don't accumulate."""
         return self._results.pop(sid)
+
+    def metrics(self) -> dict:
+        """Aggregate pool snapshot for monitoring: tick count, mean slot
+        occupancy over dispatched ticks, admissions/completions/cancels,
+        current queue depth and active slots."""
+        return {
+            "slots": self.slots,
+            "ticks": self._n_ticks,
+            "mean_occupancy": (self._occupancy_sum / self._n_ticks
+                               if self._n_ticks else 0.0),
+            "admissions": self._n_admissions,
+            "completed": self._n_completed,
+            "cancelled": self._n_cancelled,
+            "queued": len(self._queue),
+            "active": len(self._slot_map),
+            "pending_results": len(self._results),
+        }

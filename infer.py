@@ -140,6 +140,10 @@ def main():
                 print(f"stream {sid}: latency "
                       f"{(stats['latency_s'] or 0) * 1000:.0f} ms, "
                       f"rtf {rtf_txt}")
+            m = server.metrics()
+            print(f"pool: {m['ticks']} ticks, mean occupancy "
+                  f"{m['mean_occupancy']:.2f}/{m['slots']}, "
+                  f"{m['completed']} completed")
         elif args.streaming:
             pipe.warmup(streaming=True)
             wavs, _, _ = pipe.synthesize_streaming_batch(srcs, refs)

@@ -266,3 +266,25 @@ def test_server_soak_many_streams(pipe):
         assert wav.shape == want.shape
         np.testing.assert_allclose(wav, want, atol=2e-4)
     assert not server._results
+
+
+def test_server_metrics(pipe):
+    """metrics() aggregates pool counters consistently with the run."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(88)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    srcs = [(rng.standard_normal((1, 6000)) * 0.1).astype(np.float32)
+            for _ in range(5)]
+    server = StreamServer(pipe, slots=2)
+    m0 = server.metrics()
+    assert m0["ticks"] == 0 and m0["admissions"] == 0
+    sids = [server.submit(s, ref) for s in srcs]
+    server.cancel(sids[-1])
+    server.drain()
+    m = server.metrics()
+    assert m["admissions"] >= 4          # the cancelled one may skip its slot
+    assert m["completed"] == 5 and m["cancelled"] == 1
+    assert m["queued"] == 0 and m["active"] == 0
+    assert m["ticks"] > 0 and 0 < m["mean_occupancy"] <= 2
+    assert m["pending_results"] == 5
