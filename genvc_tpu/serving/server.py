@@ -48,6 +48,13 @@ from genvc_tpu.inference.pipeline import (CROSSFADE, STREAM_CHUNK, TEXT_WIDTH,
 from genvc_tpu.models import gpt as gpt_model
 
 
+class QueueFull(RuntimeError):
+    """``submit`` refused: the admission queue is at ``max_queue`` streams.
+
+    Backpressure signal for producers — catch it and retry after draining
+    (``step``/``drain``) or shed the request upstream."""
+
+
 @dataclasses.dataclass
 class _Stream:
     sid: int
@@ -134,16 +141,24 @@ class StreamServer:
         wav, stats = server.result(sid)
     """
 
-    def __init__(self, pipe, slots: int = 8, depth: int = 2, mesh=None):
+    def __init__(self, pipe, slots: int = 8, depth: int = 2, mesh=None,
+                 max_queue: int | None = None):
         """``mesh`` (optional ``jax.sharding.Mesh``): shard the slot pool
         over the mesh's FIRST axis — scale-out serving, slots/chips rows per
         chip. Decode has no cross-row ops, so GSPMD partitions the tick
         program cleanly on the batch axis; admissions (``insert_row`` at a
         traced slot index) lower to a masked update on the owning shard.
         ``slots`` must divide evenly over the axis. Validated on the virtual
-        8-device CPU mesh (tests/test_multichip.py::test_sharded_stream_server)."""
+        8-device CPU mesh (tests/test_multichip.py::test_sharded_stream_server).
+
+        ``max_queue`` (optional): cap on WAITING streams (excluding active
+        slots); a ``submit`` past the cap raises :class:`QueueFull` before
+        any device work — the backpressure surface for long-running servers
+        (an unbounded queue grows host memory and admission latency without
+        bound under overload)."""
         self.pipe = pipe
         self.slots = int(slots)
+        self.max_queue = None if max_queue is None else int(max_queue)
         # ticks kept in flight (double buffering): the host processes tick N
         # while tick N+1 computes on device, hiding the dispatch/fetch round
         # trip. A row admitted while ticks are in flight simply has its stale
@@ -168,6 +183,7 @@ class StreamServer:
         self._n_admissions = 0
         self._n_completed = 0
         self._n_cancelled = 0
+        self._n_rejected = 0
 
         gcfg = pipe.gpt_cfg
         cache_dtype = pipe._cache_dtype
@@ -258,7 +274,16 @@ class StreamServer:
         ``sampler`` (optional ``SamplerConfig``) sets THIS stream's decode
         parameters (temperature/top_k/top_p/repetition_penalty/do_sample) —
         per-request generation config; rows decode under their own params in
-        the shared pool tick. Default: the pipeline's sampler."""
+        the shared pool tick. Default: the pipeline's sampler.
+
+        Raises :class:`QueueFull` (before any device work) when the server
+        was built with ``max_queue`` and that many streams are waiting."""
+        if (self.max_queue is not None
+                and len(self._queue) >= self.max_queue):
+            self._n_rejected += 1
+            raise QueueFull(
+                f"admission queue full ({len(self._queue)} waiting >= "
+                f"max_queue={self.max_queue}); drain with step() or retry")
         sid = self._next_sid
         self._next_sid += 1
         stream = _Stream(
@@ -481,6 +506,7 @@ class StreamServer:
             "admissions": self._n_admissions,
             "completed": self._n_completed,
             "cancelled": self._n_cancelled,
+            "rejected": self._n_rejected,
             "queued": len(self._queue),
             "active": len(self._slot_map),
             "pending_results": len(self._results),

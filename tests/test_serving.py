@@ -288,3 +288,28 @@ def test_server_metrics(pipe):
     assert m["queued"] == 0 and m["active"] == 0
     assert m["ticks"] > 0 and 0 < m["mean_occupancy"] <= 2
     assert m["pending_results"] == 5
+
+
+def test_server_max_queue_backpressure(pipe):
+    """submit past max_queue raises QueueFull before any device work; the
+    queue drains normally and rejected submissions are counted."""
+    from genvc_tpu.serving.server import QueueFull, StreamServer
+
+    rng = np.random.default_rng(97)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    src = (rng.standard_normal((1, 6000)) * 0.1).astype(np.float32)
+    server = StreamServer(pipe, slots=1, max_queue=2)
+    # nothing is admitted until step(), so every submit sits in the queue:
+    # with max_queue=2 the third submit must be rejected
+    sids = [server.submit(src, ref) for _ in range(2)]
+    with pytest.raises(QueueFull):
+        server.submit(src, ref)
+    assert server.metrics()["rejected"] == 1
+    server.step()  # admits one stream into the slot, freeing queue space
+    sids.append(server.submit(src, ref))  # now accepted
+    server.drain()
+    for sid in sids:
+        wav, stats = server.result(sid)
+        assert wav.shape[-1] > 0 and not stats["cancelled"]
+    m = server.metrics()
+    assert m["completed"] == 3 and m["rejected"] == 1 and m["queued"] == 0
