@@ -257,6 +257,32 @@ class GenVCPipeline:
                 valid_len=n_valid * self.hifigan_scale_factor)
             return wav[:, 0]
 
+        @functools.partial(jax.jit, static_argnames=("win",))
+        def vocode_tail_fn(hifigan_params, all_lats, row, start, rem,
+                           win=STREAM_CHUNK):
+            """EOS-window remainder vocode: ``rem`` latents (traced count)
+            starting at traced offset ``start`` of row ``row``, padded to the
+            static ``win`` width and masked so the valid samples exactly
+            match an exact-width run (vocode_masked_fn's contract). ONE
+            compiled program per (B, W, win) geometry — a host-side slice
+            bakes (row, start, rem) into the HLO, so live traffic with novel
+            EOS geometry paid a fresh multi-hundred-ms tunnel compile
+            mid-stream (profiled at 356 ms inside a timed run; see
+            ROUND3_NOTES). Output is win*1024 wide; callers trim to
+            rem*1024 samples."""
+            # +win zero pad: start+win may overrun the buffer by up to win-1
+            # (e.g. the serving tick's W=9, start=8, rem=1); without it
+            # dynamic_slice would clamp start and silently shift the window
+            padded = jnp.pad(all_lats, ((0, 0), (0, win), (0, 0)))
+            lat = jax.lax.dynamic_slice(
+                padded, (row, start, 0), (1, win, all_lats.shape[-1]))
+            x = jnp.swapaxes(lat, 1, 2)
+            x = linear_interp_x4(x, self.hifigan_scale_factor, valid_len=rem)
+            wav = hifigan.generator_forward(
+                hifigan_params, x, voc_cfg,
+                valid_len=rem * self.hifigan_scale_factor)
+            return wav[:, 0]
+
         def latent_fn(gpt_params, text_codes, text_len, gen_codes, n_gen,
                       cond_latents):
             wav_lengths = n_gen * gcfg.code_stride_len
@@ -445,6 +471,7 @@ class GenVCPipeline:
         self._decode_chunk_fn = decode_chunk_fn
         self._vocode_fn = vocode_fn
         self._vocode_masked_fn = vocode_masked_fn
+        self._vocode_tail_fn = vocode_tail_fn
         self._latent_fn = jax.jit(latent_fn)
 
     # ------------------------------------------------------- building blocks
@@ -887,9 +914,9 @@ class GenVCPipeline:
                 if first_chunk and bool(pre_fin_np[0, 0]):
                     # EOS at the very first (prefill-sampled) token: the
                     # reference vocodes just that token's latent
-                    wav_gen = self._vocode_fn(self.hifigan_params,
-                                              lats[:, :1], 1)
-                    emit(np.asarray(wav_gen)[0])
+                    wav_gen = self._vocode_tail_fn(self.hifigan_params, lats,
+                                                   0, 0, 1, win=win)
+                    emit(np.asarray(wav_gen)[0, : self.gpt_cfg.code_stride_len])
                     break
                 first_chunk = False
                 k = len(toks_np)
@@ -901,10 +928,11 @@ class GenVCPipeline:
                     emit(wavs_np[w])
                 if eos_j is not None:
                     if rem > 0:
-                        wav_gen = self._vocode_fn(
-                            self.hifigan_params,
-                            lats[:, full * win : full * win + rem], rem)
-                        emit(np.asarray(wav_gen)[0])
+                        wav_gen = self._vocode_tail_fn(
+                            self.hifigan_params, lats, 0, full * win, rem,
+                            win=win)
+                        emit(np.asarray(wav_gen)
+                             [0, : rem * self.gpt_cfg.code_stride_len])
                     seg_done = True
                 else:
                     n_total += k
@@ -1042,9 +1070,10 @@ class GenVCPipeline:
                         continue
                     if first_call and bool(pre_fin_np[i, 0]):
                         # EOS at the prefill-sampled token: vocode only it
-                        wav1 = self._vocode_fn(self.hifigan_params,
-                                               lats[i : i + 1, :1], 1)
-                        emit(i, np.asarray(wav1)[0])
+                        wav1 = self._vocode_tail_fn(self.hifigan_params, lats,
+                                                    i, 0, 1, win=win)
+                        emit(i, np.asarray(wav1)
+                             [0, : self.gpt_cfg.code_stride_len])
                         done[i] = True
                         continue
                     eos_j, n_lat_valid, full, rem = window_accounting(
@@ -1053,11 +1082,11 @@ class GenVCPipeline:
                         emit(i, wavs_np[i, w])
                     if eos_j is not None:
                         if rem > 0:
-                            wav_gen = self._vocode_fn(
-                                self.hifigan_params,
-                                lats[i : i + 1,
-                                     full * win : full * win + rem], rem)
-                            emit(i, np.asarray(wav_gen)[0])
+                            wav_gen = self._vocode_tail_fn(
+                                self.hifigan_params, lats, i, full * win,
+                                rem, win=win)
+                            emit(i, np.asarray(wav_gen)
+                                 [0, : rem * self.gpt_cfg.code_stride_len])
                         done[i] = True
                 first_call = False
                 n_total += k
@@ -1092,16 +1121,23 @@ class GenVCPipeline:
                 jnp.asarray(self._pcm16(src)),
                 jnp.asarray([self._seg_len_16k], jnp.int32), self._next_rng(),
                 first_win=max(1, min(self.first_chunk_tokens, STREAM_CHUNK)))
-            cur = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
-                                        state, STREAM_CHUNK - 1,
-                                        lat0[:, None, :])
+            cur1 = self._stream_chunk_fn(self.gpt_params, self.hifigan_params,
+                                         state, STREAM_CHUNK - 1,
+                                         lat0[:, None, :])
             cur = self._stream_chunk_fn(
-                self.gpt_params, self.hifigan_params, cur[0],
+                self.gpt_params, self.hifigan_params, cur1[0],
                 STREAM_CHUNK * self.chunks_per_call,
                 jnp.zeros((1, 0, d), jnp.float32))
-            for c in range(1, STREAM_CHUNK + 1):
-                lat = jnp.zeros((1, c, d), jnp.float32)
-                self._vocode_fn(self.hifigan_params, lat, c)
+            # EOS-remainder tail program: ONE compile per (W, win) geometry
+            # (traced start/rem — replaces the old per-rem exact-width
+            # vocoder variants: 8 compiles collapsed to 3, and no mid-stream
+            # compile when live traffic hits a novel EOS offset)
+            fw = max(1, min(self.first_chunk_tokens, STREAM_CHUNK))
+            self._vocode_tail_fn(self.hifigan_params, out[4], 0, 0, 1, win=fw)
+            self._vocode_tail_fn(self.hifigan_params, cur1[2], 0, 0, 1,
+                                 win=STREAM_CHUNK)
+            self._vocode_tail_fn(self.hifigan_params, cur[2], 0, 0, 1,
+                                 win=STREAM_CHUNK)
             jax.block_until_ready(cur[0].cache_k)
             jax.block_until_ready(out[0])
         else:

@@ -233,6 +233,17 @@ class StreamServer:
         self._pool = pool
         self._carry = carry
         self._row_params = row_params
+        # pre-compile the EOS-remainder tail program for the tick geometry
+        # (W = STREAM_CHUNK + 1: one carried latent + 8 decoded) so no
+        # stream's final window pays a compile mid-serve
+        try:
+            pipe._vocode_tail_fn(
+                pipe.hifigan_params,
+                jnp.zeros((self.slots, STREAM_CHUNK + 1, gcfg.model_dim),
+                          jnp.float32),
+                0, 0, 1, win=STREAM_CHUNK)
+        except Exception:
+            pass
 
     # the serving jits are cached on the pipeline (one trace per pipe,
     # shared by every server instance) and resolved at CALL time, so a
@@ -401,9 +412,10 @@ class StreamServer:
             if s.first_tick and bool(pre_fin_np[slot, 0]):
                 # EOS at the prefill-sampled token: vocode just its latent
                 # (reference behavior; pipeline._synthesize_streaming)
-                wav = pipe._vocode_fn(pipe.hifigan_params,
-                                      all_lats[slot : slot + 1, 0:1], 1)
-                self._emit(s, np.asarray(wav)[0])
+                wav = pipe._vocode_tail_fn(pipe.hifigan_params, all_lats,
+                                           slot, 0, 1, win=k)
+                self._emit(s, np.asarray(wav)
+                           [0, : pipe.gpt_cfg.code_stride_len])
                 seg_done = True
             else:
                 # every tick carries exactly one latent (the prefill/window
@@ -417,11 +429,11 @@ class StreamServer:
                     self._emit(s, wavs_np[slot, 0])
                 if eos_j is not None:
                     if rem > 0:
-                        wav = pipe._vocode_fn(
-                            pipe.hifigan_params,
-                            all_lats[slot : slot + 1,
-                                     full * k : full * k + rem], rem)
-                        self._emit(s, np.asarray(wav)[0])
+                        wav = pipe._vocode_tail_fn(
+                            pipe.hifigan_params, all_lats, slot, full * k,
+                            rem, win=k)
+                        self._emit(s, np.asarray(wav)
+                                   [0, : rem * pipe.gpt_cfg.code_stride_len])
                     seg_done = True
                 else:
                     s.n_total += k

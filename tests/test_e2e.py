@@ -441,3 +441,29 @@ def test_synthesize_all_stop_returns_empty(pipe, monkeypatch):
     ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
     wav = pipe.synthesize(src, ref, num_beams=2)
     assert wav.shape == (0,) and wav.dtype == np.float32
+
+
+def test_vocode_tail_matches_exact_slice(pipe):
+    """The single-program EOS-remainder vocode (traced row/start/rem +
+    masking) is sample-exact vs the exact-width slice+vocode oracle,
+    including the overhang case where start+win exceeds the latent buffer
+    (serving tick geometry W=9, start=8)."""
+    d = pipe.gpt_cfg.model_dim
+    stride = pipe.gpt_cfg.code_stride_len
+    rng = np.random.default_rng(11)
+
+    for b, w_buf, cases in [
+        (1, 16, [(0, 0, 3), (0, 8, 5), (0, 8, 8)]),   # lockstep call widths
+        (3, 9, [(1, 0, 2), (2, 8, 1)]),               # serving tick incl. overhang
+    ]:
+        lats = jnp.asarray(
+            rng.standard_normal((b, w_buf, d)).astype(np.float32))
+        for row, start, rem in cases:
+            want = np.asarray(pipe._vocode_fn(
+                pipe.hifigan_params,
+                lats[row : row + 1, start : start + rem], rem))[0]
+            got = np.asarray(pipe._vocode_tail_fn(
+                pipe.hifigan_params, lats, row, start, rem,
+                win=8))[0, : rem * stride]
+            assert want.shape == got.shape == (rem * stride,)
+            np.testing.assert_allclose(got, want, atol=1e-5)
