@@ -56,6 +56,23 @@ class _ConfigBase:
         return dataclasses.replace(self, **kwargs)
 
 
+def _check_range(name, value, min_val=None, max_val=None, allow_none=False):
+    """One bounded-field check (reference: coqpit ``check_argument`` semantics as
+    used by configs/base_configs.py:159-191 ``check_values``)."""
+    if value is None:
+        if allow_none:
+            return
+        raise ValueError(f"audio config field '{name}' must not be None")
+    if min_val is not None and value < min_val:
+        raise ValueError(
+            f"audio config field '{name}'={value!r} is below the allowed minimum {min_val}"
+        )
+    if max_val is not None and value > max_val:
+        raise ValueError(
+            f"audio config field '{name}'={value!r} is above the allowed maximum {max_val}"
+        )
+
+
 @dataclass
 class AudioConfig(_ConfigBase):
     """STFT/mel/sample-rate parameters (reference: configs/base_configs.py:115-157)."""
@@ -71,6 +88,39 @@ class AudioConfig(_ConfigBase):
     sample_rate: int = 24000
     output_sample_rate: int = 24000
     content_sample_rate: int = 16000
+
+    def __post_init__(self):
+        # coqpit runs check_values at construction time, so every reference
+        # config path (including checkpoint round-trip) is validated on build.
+        self.check_values()
+
+    def check_values(self):
+        """Bounds validation mirroring reference BaseAudioConfig.check_values
+        (configs/base_configs.py:159-191) for the fields this tree carries.
+        Fields the rebuild dropped (preemphasis, griffin-lim power, signal-norm
+        knobs) are defaulted constants here and need no runtime check."""
+        _check_range("num_mels", self.num_mels, 10, 2056)
+        _check_range("fft_size", self.fft_size, 128, 4058)
+        _check_range("sample_rate", self.sample_rate, 512, 100000)
+        _check_range("dvae_sample_rate", self.dvae_sample_rate, 512, 100000)
+        _check_range("output_sample_rate", self.output_sample_rate, 512, 100000)
+        _check_range("content_sample_rate", self.content_sample_rate, 512, 100000)
+        # reference validates frame_length_ms/frame_shift_ms with win_length/
+        # hop_length as the "alternative" fields; we carry the sample-domain pair.
+        _check_range("win_length", self.win_length, 1, self.fft_size)
+        _check_range("hop_length", self.hop_length, 1, self.win_length)
+        _check_range("mel_fmin", self.mel_fmin, 0.0, 1000.0)
+        _check_range("mel_fmax", self.mel_fmax, 500.0, None, allow_none=True)
+        if self.mel_fmax is not None and self.mel_fmax > self.sample_rate / 2:
+            raise ValueError(
+                f"audio config field 'mel_fmax'={self.mel_fmax!r} exceeds the "
+                f"Nyquist frequency {self.sample_rate / 2} of sample_rate={self.sample_rate}"
+            )
+        if self.stft_pad_mode not in ("reflect", "constant"):
+            raise ValueError(
+                f"audio config field 'stft_pad_mode'={self.stft_pad_mode!r} "
+                "must be 'reflect' or 'constant'"
+            )
 
 
 @dataclass

@@ -569,6 +569,226 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     return best_buf, n_tokens
 
 
+def decode_constrained(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+                       prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+                       max_new: int, num_beams: int, constraints,
+                       length_penalty: float = 1.0,
+                       repetition_penalty: float = 1.0,
+                       prefix_fake_len: int | None = None):
+    """Constrained beam search — the ``constraints`` / ``force_words_ids``
+    route of the reference's vendored generator
+    (layers/stream_generator.py:260-276; HF ``ConstrainedBeamSearchScorer``,
+    still shipped in transformers 4.57 core even though the *driver* moved to
+    a Hub recipe). Unreachable from every reference entry point, covered for
+    surface completeness; parity-tested against the real HF scorer
+    (tests/test_constrained_beam.py).
+
+    Design: unlike the on-device ``decode_beam``, the banked candidate
+    selection here is inherently sequence-dependent bookkeeping (per-beam
+    phrase-progress states, sequence-dedup of advance candidates, bank
+    round-robin), so the selection runs on host while every forward stays the
+    jitted KV-cached batch-``num_beams`` program — the same split the
+    contrastive/beam drivers use for their device side. This mode is never on
+    a reference hot path; the VC decode surface (sample/greedy/beam/
+    contrastive) remains fully on-device.
+
+    HF semantics reproduced (installed-4.57 scorer, ``decoder_prompt_len=0``):
+    * per step: log-softmax, repetition-penalty processor on the log-probs,
+      add running beam scores → ``scores_for_all_vocab``; top ``2*num_beams``
+      flat candidates,
+    * EOS candidates ranked inside the top ``num_beams`` finalize ONLY if the
+      parent sequence already satisfies every constraint; normalization is
+      ``sum_logprobs / (len(input_ids)+1) ** length_penalty`` (fake prefix
+      ids included, gpt.py:572-592),
+    * ``step_sentence_constraint``: each running beam whose constraints are
+      unmet proposes "advance" candidates (next token of its in-progress
+      phrase, or the first token of each pending phrase) scored from
+      ``scores_for_all_vocab``; duplicates of already-tracked sequences are
+      dropped; all candidates sort by ``bank*100 + score`` descending and the
+      next beams are drawn round-robin across banks (highest bank first),
+    * early-stop heuristic (``early_stopping=False``) and finalize fallback
+      (running beams that satisfy constraints join the pool; if none do, the
+      best running beams are returned regardless) match the scorer.
+
+    ``constraints``: list of token phrases (``force_words_ids`` style).
+    ``state`` must be ``init_state`` with ``batch == num_beams``. Returns
+    (tokens (max_new,) np.ndarray stop-padded incl. the stop token when there
+    is room, n_tokens) like ``decode_beam``.
+    """
+    from genvc_tpu.decode.constraints import PhraseListState, completes_all
+
+    nb = num_beams
+    v = cfg.num_audio_tokens
+    stop = cfg.stop_audio_token
+    if prefix_fake_len is None:
+        prefix_fake_len = prefix_emb.shape[1] + 1
+
+    filled, _, logits0 = prefill_logits(params, cfg, state, prefix_emb,
+                                        prefix_valid)
+
+    fwd = _constrained_fwd_jit
+    reorder = _constrained_reorder_jit
+
+    # host bookkeeping: full sequences start with HF's fake input_ids
+    # (prefix_fake_len-1 ones + start_audio, gpt.py:572-592) so constraint
+    # resets and the repetition-penalty processor see what HF's would
+    fake_prefix = [1] * (int(prefix_fake_len) - 1) + [cfg.start_audio_token]
+    seqs = [list(fake_prefix) for _ in range(nb)]
+    scores = np.full((nb,), -1e9, np.float32)
+    scores[0] = 0.0
+    seen = np.zeros((nb, v), bool)
+    seen[:, [1, cfg.start_audio_token]] = True
+    hyps: list = []     # (norm_score, token_list)
+
+    def add_hyp(norm_score, toks):
+        hyps.append((norm_score, toks))
+        hyps.sort(key=lambda x: -x[0])
+        del hyps[nb:]
+
+    def select(logits):
+        logp = np.asarray(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+        if repetition_penalty != 1.0:
+            pen = np.where(logp < 0, logp * repetition_penalty,
+                           logp / repetition_penalty)
+            logp = np.where(seen, pen, logp)
+        cand = scores[:, None] + logp                       # (nb, V)
+        flat = cand.reshape(-1)
+        top = np.argsort(-flat, kind="stable")[: 2 * nb]
+        sel = []                                            # (score,tok,parent)
+        cur_len = len(seqs[0]) + 1
+        for rank, fi in enumerate(top):
+            parent, tok = int(fi) // v, int(fi) % v
+            sc = float(flat[fi])
+            if tok == stop:
+                if rank < nb and completes_all(constraints, seqs[parent]):
+                    add_hyp(sc / cur_len ** length_penalty, list(seqs[parent]))
+                continue
+            sel.append((sc, tok, parent))
+            if len(sel) == nb:
+                break
+
+        # step_sentence_constraint: advance candidates from the running beams
+        tracked = [seqs[p] + [t] for (_, t, p) in sel]
+        cands = [(sc, t, p, _reset_state(constraints, seqs[p] + [t]))
+                 for (sc, t, p) in sel]
+        for row in range(nb):
+            st_row = _reset_state(constraints, seqs[row])
+            if st_row.completed:
+                continue
+            for adv in st_row.advance():
+                adv_seq = seqs[row] + [adv]
+                if adv_seq in tracked:
+                    continue
+                tracked.append(adv_seq)
+                st_new = st_row.copy()
+                st_new.add(adv)
+                cands.append((float(cand[row, adv]), adv, row, st_new))
+
+        # bank round-robin: sort by bank*100+score desc, then stable-argsort
+        # the within-bank position (HF's exact construction). HF only
+        # reorders when advance candidates were actually added; otherwise the
+        # rank-ordered top-nb selection stands as-is.
+        if len(cands) > len(sel):
+            zipped = [c[3].get_bank() * 100.0 + c[0] for c in cands]
+            order = sorted(range(len(cands)), key=lambda i: -zipped[i])
+            incr, counter, cur_bank = [], -1, None
+            for i in order:
+                b = cands[i][3].get_bank()
+                counter = counter + 1 if b == cur_bank else 0
+                cur_bank = b
+                incr.append(counter)
+            rearranged = [order[j]
+                          for j in np.argsort(incr, kind="stable")][:nb]
+            picked = [cands[i] for i in rearranged]
+        else:
+            picked = cands
+        best_possible = float(flat[top[0]])
+        return picked, best_possible
+
+    def is_done(best_possible):
+        if len(hyps) < nb:
+            return False
+        cur_len = len(seqs[0]) + 1
+        return hyps[-1][0] >= best_possible / cur_len ** length_penalty
+
+    st = filled
+    logits = logits0
+    done = False
+    for s in range(max_new):
+        picked, best_possible = select(logits)
+        done = is_done(best_possible)   # HF: evaluated pre-update, inside process
+        parents = jnp.asarray([p for (_, _, p, _) in picked], jnp.int32)
+        tokens = jnp.asarray([t for (_, t, _, _) in picked], jnp.int32)
+        if s == 0:
+            # prefill already wrote the cache through slot cur_index-1; the
+            # selected token's (k, v) lands at cur_index on the NEXT forward
+            # (decode_beam's step-0 convention)
+            st = DecodeState(
+                cache_k=st.cache_k[:, parents], cache_v=st.cache_v[:, parents],
+                key_valid=st.key_valid[parents], cur_index=st.cur_index,
+                n_generated=jnp.ones_like(st.n_generated), last_token=tokens,
+                seen=st.seen, finished=st.finished, rng=st.rng)
+        else:
+            st = reorder(st, cache_k, cache_v, key_valid, parents, tokens)
+        seqs[:] = [seqs[p] + [t] for (_, t, p, _) in picked]
+        seen = seen[[p for (_, _, p, _) in picked]]
+        seen[np.arange(nb), [t for (_, t, _, _) in picked]] = True
+        scores = np.asarray([sc for (sc, _, _, _) in picked], np.float32)
+        if done:
+            break
+        if s + 1 == max_new:
+            break
+        cache_k, cache_v, key_valid, _, logits, _ = fwd(params, cfg, st)
+
+    # finalize: running beams that satisfy constraints join the pool (unless
+    # the early-stop heuristic fired — HF skips done batches). When NO
+    # running beam completes its constraints, HF's fallback adds ALL running
+    # beams to the pool (its break condition checks a list the fallback loop
+    # never appends to), so the best normalized score wins regardless of
+    # constraint completion — reproduced exactly.
+    if not done:
+        collected = 0
+        for row in range(nb):
+            if completes_all(constraints, seqs[row]):
+                add_hyp(scores[row] / len(seqs[row]) ** length_penalty,
+                        list(seqs[row]))
+                collected += 1
+        if collected < 1:
+            for row in range(nb):
+                add_hyp(scores[row] / len(seqs[row]) ** length_penalty,
+                        list(seqs[row]))
+
+    best = hyps[0][1][len(fake_prefix):]
+    out = np.full((max_new,), stop, np.int32)
+    out[: len(best)] = best
+    n_tokens = len(best) + 1 if len(best) < max_new else len(best)
+    return out, n_tokens
+
+
+def _reset_state(constraints, token_ids):
+    from genvc_tpu.decode.constraints import PhraseListState
+    st = PhraseListState(constraints)
+    st.reset(token_ids)
+    return st
+
+
+# module-level jits so repeated decode_constrained calls reuse the compiled
+# programs (cfg is a frozen dataclass -> hashable static arg)
+_constrained_fwd_jit = jax.jit(
+    lambda params, cfg, st: _decode_forward(params, cfg, st),
+    static_argnums=1)
+
+
+@jax.jit
+def _constrained_reorder_jit(st, cache_k, cache_v, key_valid, parents,
+                             tokens):
+    return st._replace(
+        cache_k=cache_k[:, parents], cache_v=cache_v[:, parents],
+        key_valid=key_valid[parents], cur_index=st.cur_index + 1,
+        n_generated=st.n_generated + 1, last_token=tokens)
+
+
 def decode_contrastive(params, cfg: gpt_model.GPTConfig, state: DecodeState,
                        prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
                        max_new: int, top_k: int = 4,

@@ -69,6 +69,7 @@ class _Stream:
     chunks: list = dataclasses.field(default_factory=list)
     overlap: np.ndarray | None = None
     latency: float | None = None
+    admit_t: float | None = None   # first slot admission (queue wait ends)
     done_t: float | None = None
     on_chunk: object = None        # optional per-stream chunk callback
     callback_error: str | None = None
@@ -307,8 +308,10 @@ class StreamServer:
             sampler=sampler)
         if not stream.segments:  # zero-length source: retire immediately
             self._results[sid] = (np.zeros((0,), np.float32), {
-                "latency_s": None, "wall_s": 0.0, "audio_s": 0.0,
-                "rtf": None, "callback_error": None, "cancelled": False})
+                "latency_s": None, "queue_wait_s": None, "service_s": None,
+                "wall_s": 0.0, "audio_s": 0.0, "rtf": None,
+                "rtf_service": None, "callback_error": None,
+                "cancelled": False})
             return sid
         self._queue.append(stream)
         return sid
@@ -341,6 +344,8 @@ class StreamServer:
             slot = self._free.pop(0)
             self._slot_map[slot] = stream
             self._n_admissions += 1
+            if stream.admit_t is None:
+                stream.admit_t = time.perf_counter()
             self._start_segment(stream, slot)
 
     def cancel(self, sid: int):
@@ -461,11 +466,20 @@ class StreamServer:
                else np.zeros((0,), np.float32))
         wall = s.done_t - s.submit_t
         audio_s = s.audio_samples / self.pipe.content_sample_rate
+        queue_wait = (s.admit_t - s.submit_t if s.admit_t is not None
+                      else None)
+        service = (s.done_t - s.admit_t if s.admit_t is not None else None)
         self._results[s.sid] = (wav, {
-            "latency_s": s.latency,
+            "latency_s": s.latency,          # submit -> first audio (incl. queue)
+            "queue_wait_s": queue_wait,      # submit -> slot admission
+            "service_s": service,            # admission -> retirement
             "wall_s": wall,
             "audio_s": audio_s,
             "rtf": wall / audio_s if audio_s > 0 else None,
+            # RTF excluding queue wait — the per-stream processing number a
+            # capacity planner compares against 1.0
+            "rtf_service": (service / audio_s
+                            if service is not None and audio_s > 0 else None),
             "callback_error": s.callback_error,
             "cancelled": cancelled,
         })
