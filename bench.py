@@ -193,6 +193,21 @@ def main():
             "realtime_streams": (s_slots if pool_rtf < 1.0
                                  else int(s_slots / pool_rtf)),
         }
+        # Poisson-arrival load test (VERDICT r3 item 3): open-loop arrivals
+        # at factors of the measured saturated capacity; per-stream p50/p95
+        # time-to-first-audio and RTF excluding vs including queue wait, plus
+        # the max swept rate with p95 first-audio under the 500 ms SLO.
+        if os.environ.get("BENCH_POISSON", "1") != "0":
+            from bench_serving import poisson_sweep
+
+            capacity = s_streams / s_wall  # streams/s at saturation (drain)
+            rows, max_lam = poisson_sweep(
+                pipe, src, ref, s_slots, capacity,
+                factors=(0.75, 1.0, 1.5, 2.0),
+                n_arrivals=int(os.environ.get("BENCH_POISSON_N", "24")))
+            serving["capacity_streams_per_s"] = round(capacity, 3)
+            serving["poisson"] = rows
+            serving["max_sustainable_lambda_ttfa500ms"] = max_lam
     except Exception as e:  # never let the serving extra kill the headline
         print(f"serving bench skipped: {e}", file=sys.stderr)
 

@@ -31,6 +31,89 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def poisson_load(pipe, src, ref, slots: int, lam: float, n_arrivals: int,
+                 seed: int = 0, max_queue: int | None = None):
+    """Drive a StreamServer with Poisson arrivals at rate ``lam`` streams/s.
+
+    The load generator interleaves submissions with ``server.step()`` ticks:
+    between arrivals the pool keeps ticking (decoding admitted streams); when
+    the pool is idle and the next arrival is in the future, it sleeps to the
+    arrival time — i.e. open-loop arrivals, closed-loop service, the queueing
+    regime a capacity planner actually provisions for
+    (reference latency contract: inference/inference_utils.py:148-216).
+
+    Returns a stats dict: per-stream p50/p95 time-to-first-audio
+    (``latency_s``: submit -> first emitted chunk, INCLUDING queue wait),
+    RTF including queue wait (``rtf``) and excluding it (``rtf_service``),
+    plus offered load vs measured throughput.
+    """
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(seed)
+    inter = rng.exponential(1.0 / lam, size=n_arrivals)
+    server = StreamServer(pipe, slots=slots,
+                          **({"max_queue": max_queue} if max_queue else {}))
+
+    t0 = time.perf_counter()
+    arrival_times = t0 + np.cumsum(inter)
+    sids = []
+    next_i = 0
+    while next_i < n_arrivals or not all(server.finished(s) for s in sids):
+        now = time.perf_counter()
+        if next_i < n_arrivals and now >= arrival_times[next_i]:
+            sids.append(server.submit(src, ref))
+            next_i += 1
+            continue
+        progressed = server.step()
+        if not progressed:
+            if next_i < n_arrivals:  # idle pool: sleep to the next arrival
+                time.sleep(max(0.0, arrival_times[next_i] -
+                               time.perf_counter()))
+            else:
+                break
+    wall = time.perf_counter() - t0
+
+    stats = [server.result(sid)[1] for sid in sids]
+    ttfa = [s["latency_s"] for s in stats if s["latency_s"] is not None]
+    rtf_inc = [s["rtf"] for s in stats if s["rtf"] is not None]
+    rtf_exc = [s["rtf_service"] for s in stats if s["rtf_service"] is not None]
+    qw = [s["queue_wait_s"] for s in stats if s["queue_wait_s"] is not None]
+    return {
+        "lambda": round(lam, 3),
+        "arrivals": n_arrivals,
+        "completed": len(stats),
+        "wall_s": round(wall, 2),
+        "throughput_streams_per_s": round(len(stats) / wall, 3),
+        "ttfa_ms_p50": round(1000 * float(np.percentile(ttfa, 50)), 1),
+        "ttfa_ms_p95": round(1000 * float(np.percentile(ttfa, 95)), 1),
+        "queue_wait_ms_p95": round(1000 * float(np.percentile(qw, 95)), 1),
+        "rtf_incl_queue_p50": round(float(np.percentile(rtf_inc, 50)), 4),
+        "rtf_incl_queue_p95": round(float(np.percentile(rtf_inc, 95)), 4),
+        "rtf_service_p50": round(float(np.percentile(rtf_exc, 50)), 4),
+        "rtf_service_p95": round(float(np.percentile(rtf_exc, 95)), 4),
+    }
+
+
+def poisson_sweep(pipe, src, ref, slots: int, capacity: float,
+                  factors=(0.5, 0.75, 1.0, 1.5, 2.0), n_arrivals: int = 32,
+                  ttfa_slo_ms: float = 500.0):
+    """Sweep arrival rate over ``factors`` x estimated capacity. Returns
+    (rows, max_sustainable_lambda): the largest swept rate whose p95
+    time-to-first-audio stays under ``ttfa_slo_ms``."""
+    rows = []
+    max_ok = None
+    for f in factors:
+        lam = capacity * f
+        row = poisson_load(pipe, src, ref, slots, lam, n_arrivals,
+                           seed=int(f * 100))
+        row["capacity_factor"] = f
+        rows.append(row)
+        if row["ttfa_ms_p95"] <= ttfa_slo_ms:
+            if max_ok is None or lam > max_ok:
+                max_ok = lam
+    return rows, (round(max_ok, 3) if max_ok is not None else None)
+
+
 def main():
     import jax
 

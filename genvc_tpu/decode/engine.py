@@ -71,13 +71,17 @@ def cache_size(cfg: gpt_model.GPTConfig, prefix_width: int,
 
 
 def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
-                   heads):
+                   heads, fused=False):
     """One block forward for a single token, reading/writing the cache.
 
     ``cur_index`` scalar: all rows write the same cache slot (lockstep decode;
     one cheap ``dynamic_update_slice``). ``cur_index`` (B,): per-row write
     positions (continuous-batching pools; lowers to a scatter — the write is
-    B*H*hd elements per layer, negligible next to the full-cache read)."""
+    B*H*hd elements per layer, negligible next to the full-cache read).
+
+    ``fused``: read the cache through the Pallas fused decode-attention
+    kernel (ops.decode_attention) — in-register fp8->bf16 upcast instead of
+    a materialized convert; no-op off TPU."""
     x = nn.layer_norm(bp["ln_1"], h)
     qkv = nn.linear(bp["attn"]["c_attn"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -101,11 +105,23 @@ def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
         state_v = state_v.at[layer_idx, rows, :, cur_index, :].set(
             v[:, :, 0, :].astype(state_v.dtype))
 
-    ck = jax.lax.dynamic_index_in_dim(state_k, layer_idx, 0, keepdims=False)
-    cv = jax.lax.dynamic_index_in_dim(state_v, layer_idx, 0, keepdims=False)
-    bias = nn.key_padding_bias(key_valid)
-    out = nn.attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias=bias)
-    out = out.transpose(0, 2, 1, 3).reshape(b, 1, heads * hd)
+    if fused and jax.default_backend() == "tpu":
+        from genvc_tpu.ops import decode_attention as da
+        bias2 = jnp.where(key_valid, 0.0, nn.NEG_INF).astype(jnp.float32)
+        # layer-indexed kernel reads the FULL stacked cache via a
+        # scalar-prefetched index_map — no materialized per-layer slice
+        out = da.decode_attention_layer(q[:, :, 0, :], state_k, state_v,
+                                        bias2, layer_idx)  # (B, H, hd)
+        out = out.reshape(b, 1, heads * hd)
+    else:
+        ck = jax.lax.dynamic_index_in_dim(state_k, layer_idx, 0,
+                                          keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(state_v, layer_idx, 0,
+                                          keepdims=False)
+        bias = nn.key_padding_bias(key_valid)
+        out = nn.attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                           bias=bias)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, heads * hd)
     h = h + nn.linear(bp["attn"]["c_proj"], out)
     x = nn.layer_norm(bp["ln_2"], h)
     x = nn.gelu_new(nn.linear(bp["mlp"]["c_fc"], x))
@@ -133,7 +149,8 @@ def _decode_forward(params, cfg, state: DecodeState):
     def body(carry, bp_with_idx):
         h, ck, cv, idx = carry
         h, ck, cv = _attend_cached(bp_with_idx, h, ck, cv, idx,
-                                   state.cur_index, key_valid, cfg.heads)
+                                   state.cur_index, key_valid, cfg.heads,
+                                   fused=cfg.fused_decode_attention)
         return (h, ck, cv, idx + 1), None
 
     (h, cache_k, cache_v, _), _ = jax.lax.scan(

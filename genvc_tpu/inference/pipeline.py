@@ -1262,7 +1262,12 @@ def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
         stop_text_token=ma.gpt_stop_text_token or 257,
         start_audio_token=ma.gpt_start_audio_token,
         stop_audio_token=ma.gpt_stop_audio_token,
-        code_stride_len=ma.gpt_code_stride_len)
+        code_stride_len=ma.gpt_code_stride_len,
+        # Pallas fused cached attention for the AR decode loop: measured
+        # faster than the XLA path at every batch size for both bf16 and f8
+        # caches (B=1/8/16 step: 2.50/3.55/4.87 vs 2.70/3.95/5.14 ms bf16;
+        # engages on TPU only — engine falls back to XLA elsewhere)
+        fused_decode_attention=True)
 
     def cast(x):
         x = jnp.asarray(x)

@@ -44,6 +44,12 @@ class GPTConfig:
     code_stride_len: int = 1024
     perceiver_cond_length_compression: int = 256
     label_smoothing: float = 0.0
+    # decode-time switch (not an architecture field): route the cached
+    # single-token attention through the Pallas fused kernel
+    # (ops.decode_attention) — reads fp8/bf16 cache blocks without the
+    # materialized upcast XLA emits. TPU backend only; engine falls back to
+    # the XLA path elsewhere. Static so jit programs specialize correctly.
+    fused_decode_attention: bool = False
 
     @property
     def max_gen_mel_tokens(self) -> int:

@@ -474,16 +474,20 @@ MSSTFTD_SPECS = tuple(
     for n, h, w in zip((1024, 2048, 512), (256, 512, 256), (1024, 2048, 512)))
 
 
-def init_msstftd(key, filters=32):
-    keys = jax.random.split(key, len(MSSTFTD_SPECS))
+def init_msstftd(key, filters=32, specs=None):
+    """``specs`` overrides the reference resolutions (MSSTFTD_SPECS) — used
+    by structural dryruns to shrink the compile (e.g. one tiny FFT)."""
+    specs = MSSTFTD_SPECS if specs is None else specs
+    keys = jax.random.split(key, len(specs))
     return {"discs": [init_discriminator_stft(k, filters, s["n_fft"],
                                               s["hop"], s["win"])
-                      for k, s in zip(keys, MSSTFTD_SPECS)]}
+                      for k, s in zip(keys, specs)]}
 
 
-def msstftd_forward(p, y, y_hat, compute_dtype=None):
+def msstftd_forward(p, y, y_hat, compute_dtype=None, specs=None):
+    specs = MSSTFTD_SPECS if specs is None else specs
     logits_r, logits_g, fmap_r, fmap_g = [], [], [], []
-    for d, spec in zip(p["discs"], MSSTFTD_SPECS):
+    for d, spec in zip(p["discs"], specs):
         lr, fr = discriminator_stft_forward(d, y, spec, compute_dtype)
         lg, fg = discriminator_stft_forward(d, y_hat, spec, compute_dtype)
         logits_r.append(lr); fmap_r.append(fr)

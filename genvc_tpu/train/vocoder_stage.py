@@ -38,7 +38,7 @@ class VocoderTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def init_discriminators(key, cfg: VocoderConfig):
+def init_discriminators(key, cfg: VocoderConfig, msstftd_specs=None):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     mssbcqtd_params, cqt_statics = hifigan.init_mssbcqtd(k4, cfg)
     params = {
@@ -46,7 +46,8 @@ def init_discriminators(key, cfg: VocoderConfig):
         "mpd": hifigan.init_mpd(k2, periods=tuple(cfg.mpd_reshapes),
                                 d_mult=cfg.mpd_discriminator_channel_mult_factor,
                                 use_spectral_norm=cfg.mpd_use_spectral_norm),
-        "msstftd": hifigan.init_msstftd(k3, filters=cfg.msstftd_filters),
+        "msstftd": hifigan.init_msstftd(k3, filters=cfg.msstftd_filters,
+                                        specs=msstftd_specs),
         "mssbcqtd": mssbcqtd_params,
     }
     return params, cqt_statics
@@ -209,7 +210,8 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
                      per_family: bool = False,
                      families_per_program: int | None = None,
                      disc_dtype=None,
-                     families: tuple[str, ...] | None = None):
+                     families: tuple[str, ...] | None = None,
+                     msstftd_specs=None):
     """Split-program variant of the GAN step (the fused single-program
     make_train_step can exceed compile-memory limits: the frozen GPT + 4
     discriminator families fwd+bwd in one XLA program is a ~50 MB MLIR
@@ -257,7 +259,8 @@ def make_split_steps(gcfg: gpt_model.GPTConfig, voc_cfg: VocoderConfig,
             return out if sn_update else (*out, disc_family_params)
         if name == "MSTFT_Discriminator":
             out = hifigan.msstftd_forward(disc_family_params, y, y_hat,
-                                          compute_dtype=disc_dtype)
+                                          compute_dtype=disc_dtype,
+                                          specs=msstftd_specs)
         else:
             out = hifigan.mssbcqtd_forward(disc_family_params, cqt_statics, y,
                                            y_hat, compute_dtype=disc_dtype)
