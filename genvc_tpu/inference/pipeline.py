@@ -434,6 +434,28 @@ class GenVCPipeline:
             return (jnp.sum(embs * w, axis=0) /
                     jnp.maximum(jnp.sum(w), 1.0))[None]
 
+        @jax.jit
+        def cond_latent_multi_fn(gpt_params, ref_chunks, n_frames_valid,
+                                 chunk_valid):
+            """Batched-references variant of cond_latent_batch_fn:
+            (B, 5, W) chunk rows -> (B, 32, D) per-reference masked-mean
+            latents in ONE dispatch — the per-ref loop costs one tunnel RTT
+            per reference in the batch/serving paths."""
+            b, n_max, w_static = ref_chunks.shape
+            flat = ref_chunks.reshape(b * n_max, w_static)
+            if jnp.issubdtype(flat.dtype, jnp.integer):
+                flat = flat.astype(jnp.float32) / 32768.0
+            m = mel_mod.mel_torchaudio(flat, style_spec, mel_norms,
+                                       pre_padded=True)
+            n_frames = m.shape[-1]
+            frame_valid = (jnp.arange(n_frames)[None, :]
+                           < n_frames_valid.reshape(-1)[:, None])
+            embs = gpt_model.get_style_emb(gpt_params, m, frame_valid)
+            embs = embs.reshape(b, n_max, *embs.shape[1:])
+            w = chunk_valid.astype(jnp.float32)[:, :, None, None]
+            return (jnp.sum(embs * w, axis=1) /
+                    jnp.maximum(jnp.sum(w, axis=1), 1.0))
+
         @functools.partial(jax.jit, static_argnames=("first_win",))
         def first_audio_fn(cv_params, cd_params, gpt_params, hifi_params,
                            ref_chunks, n_frames_valid, chunk_valid,
@@ -458,6 +480,7 @@ class GenVCPipeline:
             return cond, st, tok0, toks, lats, pre_fin, wav, n_codes
 
         self._cond_latent_batch_fn = cond_latent_batch_fn
+        self._cond_latent_multi_fn = cond_latent_multi_fn
         self._first_audio_fn = first_audio_fn
         self._beam_fn = beam_fn
         self._contrastive_fn = contrastive_fn
@@ -511,6 +534,18 @@ class GenVCPipeline:
         chunks, n_frames, valid = self._prep_ref_chunks(ref_audio)
         return self._cond_latent_batch_fn(
             self.gpt_params, jnp.asarray(chunks), jnp.asarray(n_frames),
+            jnp.asarray(valid))
+
+    def get_gpt_cond_latents_batch(self, ref_audios) -> jnp.ndarray:
+        """List of B (1, T) references -> (B, 32, D) latents in ONE dispatch
+        (vs one per reference): host-side chunk prep stacks to (B, 5, W) and
+        the masked-mean over each reference's valid chunks runs on device."""
+        preps = [self._prep_ref_chunks(r) for r in ref_audios]
+        chunks = np.stack([p[0] for p in preps])
+        frames = np.stack([p[1] for p in preps])
+        valid = np.stack([p[2] for p in preps])
+        return self._cond_latent_multi_fn(
+            self.gpt_params, jnp.asarray(chunks), jnp.asarray(frames),
             jnp.asarray(valid))
 
     def _get_gpt_cond_latents_loop(self, ref_audio: np.ndarray) -> jnp.ndarray:
@@ -696,8 +731,7 @@ class GenVCPipeline:
         Returns a list of (T_out,) waveforms @24 kHz, one per utterance.
         """
         bsz = len(src_wavs)
-        conds = jnp.concatenate(
-            [self.get_gpt_cond_latents(r) for r in ref_audios], axis=0)
+        conds = self.get_gpt_cond_latents_batch(ref_audios)
 
         # segment-align across the batch: round r processes every utterance's
         # r-th 6 s segment (missing segments ride along masked and are dropped)
@@ -988,8 +1022,7 @@ class GenVCPipeline:
             if latencies[i] is None:
                 latencies[i] = time.perf_counter() - begin
 
-        conds = jnp.concatenate(
-            [self.get_gpt_cond_latents(r) for r in ref_audios], axis=0)
+        conds = self.get_gpt_cond_latents_batch(ref_audios)
         seg_lists = [list(self._segments(s)) for s in src_wavs]
         max_rounds = max(len(s) for s in seg_lists)
         empty_carry = jnp.zeros((bsz, 0, d), jnp.float32)

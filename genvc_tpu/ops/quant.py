@@ -30,6 +30,16 @@ quantize="int8")`` / ``infer.py --quantize int8``): it changes logits at the
 bf16 path is deliberately NOT a goal. The reference has no analogous mode
 (its decode runs full-precision torch, inference/inference_utils.py:136-217);
 this exists to push TPU serving throughput past the reference's ceiling.
+
+Measured (round 4, B=16 decode step, 30L/1024d flagship): int8 weights
+alone 4.75 vs 5.14 ms bf16; combined with the fp8 KV cache + fused
+cache-read kernel (ops.decode_attention) 4.11 ms — 1.25x. At batch the
+cache read dominates the weight stream (B=16: ~1.26 GB vs 0.69 GB per
+step), so the fp8 cache is the bigger lever and ``quantize="int8",
+kv_cache_dtype="fp8"`` is the recommended serving config. (Round 3's
+"int8 slower at batch" finding was sequential-measurement tunnel variance:
+the interleaved A/B — tools/ab_int8_batch.py — shows int8 >= bf16 at every
+batch size.)
 """
 
 from __future__ import annotations

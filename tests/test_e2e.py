@@ -101,6 +101,18 @@ def test_cond_latent_batch_matches_loop(pipe):
     np.testing.assert_allclose(batch, loop, rtol=2e-4, atol=2e-4)
 
 
+def test_cond_latent_multi_matches_per_ref(pipe):
+    """One-dispatch multi-reference conditioning must equal the per-reference
+    path row for row (different lengths -> different valid-chunk masks)."""
+    rng = np.random.default_rng(8)
+    refs = [(rng.standard_normal((1, int(24000 * s))) * 0.1).astype(np.float32)
+            for s in (4.0, 9.5, 1.0)]
+    multi = np.asarray(pipe.get_gpt_cond_latents_batch(refs))
+    for i, r in enumerate(refs):
+        single = np.asarray(pipe.get_gpt_cond_latents(r))[0]
+        np.testing.assert_allclose(multi[i], single, rtol=2e-4, atol=2e-4)
+
+
 def test_latent_pass_bucketed_matches_exact_width(pipe):
     """Teacher-forced latent re-forward: bucketed static width must equal the
     reference's exact width (n+3) at the first n positions."""
