@@ -88,35 +88,156 @@ def main():
         "text_lengths": jnp.full((batch,), text_len, jnp.int32),
     }
     b0 = make()
-    # XLA's own FLOP count for the whole step (feature extraction + fwd/bwd +
-    # AdamW) — the honest numerator for MFU
+    # TRAIN_BREAKDOWN=only skips the fused-step machinery entirely: the
+    # standalone fwd+bwd program plus the fused executable's reservations
+    # don't fit HBM together at flagship shapes — phase timing runs in its
+    # own invocation
+    bd_mode = os.environ.get("TRAIN_BREAKDOWN", "0")
     step_flops = None
-    try:
-        ca = _jit.lower(state, b0, frozen).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        step_flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    compile_s = step_ms = None
+    metrics = None
+    if bd_mode != "only":
+        # XLA's own FLOP count for the whole step (feature extraction +
+        # fwd/bwd + AdamW) — the honest numerator for MFU
+        try:
+            ca = _jit.lower(state, b0, frozen).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            step_flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
 
-    t0 = time.perf_counter()
-    state, metrics = jit_step(state, b0)
-    jax.block_until_ready(metrics["loss"])
-    compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, metrics = jit_step(state, b0)
+        jax.block_until_ready(metrics["loss"])
+        compile_s = time.perf_counter() - t0
 
-    n = int(os.environ.get("TRAIN_STEPS", "10"))
-    # pre-stage batches on device: in production the loader prefetch overlaps
-    # the host->device copy with compute; through the dev tunnel an in-loop
-    # upload (~5 MB/step) would otherwise dominate the measurement
-    batches = [jax.device_put(make()) for _ in range(n)]
-    jax.block_until_ready(batches[-1]["wav"])
-    t0 = time.perf_counter()
-    for bi in batches:
-        state, metrics = jit_step(state, bi)
-    # hard sync: through remote-device tunnels block_until_ready can return
-    # before compute completes; a device_get cannot
-    jax.device_get(metrics["loss"])
-    step_ms = (time.perf_counter() - t0) / n * 1000
+        n = int(os.environ.get("TRAIN_STEPS", "10"))
+        # pre-stage batches on device: in production the loader prefetch
+        # overlaps the host->device copy with compute; through the dev tunnel
+        # an in-loop upload (~5 MB/step) would otherwise dominate
+        batches = [jax.device_put(make()) for _ in range(n)]
+        jax.block_until_ready(batches[-1]["wav"])
+        t0 = time.perf_counter()
+        for bi in batches:
+            state, metrics = jit_step(state, bi)
+        # hard sync: through remote-device tunnels block_until_ready can
+        # return before compute completes; a device_get cannot
+        jax.device_get(metrics["loss"])
+        step_ms = (time.perf_counter() - t0) / n * 1000
+        del batches  # release the staged batches' HBM
+
+    # TRAIN_BREAKDOWN=1|only: time the step's three phases as separate
+    # programs (frozen feature extraction | GPT fwd+bwd | AdamW update) —
+    # the profile-pass answer to "where does the step time go" without trace
+    # tooling. Sum > fused step time (no cross-phase overlap/fusion); the
+    # ratios are the signal. Runs at TRAIN_BREAKDOWN_BATCH (default
+    # min(batch, 8)): the un-donated standalone fwd+bwd program exceeds
+    # 16 GB HBM well before the fused+donated step does (B=16 OOMs when a
+    # second grads tree is live — hence grad timing below runs before any
+    # grads are held).
+    breakdown = None
+    if bd_mode in ("1", "only"):
+        from genvc_tpu.train.gpt_stage import loss_fn, prepare_features
+        bd_batch = int(os.environ.get("TRAIN_BREAKDOWN_BATCH",
+                                      str(min(batch, 8))))
+        bd_b0 = jax.tree.map(lambda x: x[:bd_batch], b0)
+
+        cdt = jnp.bfloat16 if use_bf16 else None
+
+        def _cast(tree):
+            if cdt is None:
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(cdt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+        def _loss(params, feats):
+            if cdt is not None:
+                feats = dict(feats, cond_mels=feats["cond_mels"].astype(cdt))
+            return loss_fn(_cast(params), gcfg, feats, 0.01, 1.0, True,
+                           remat=use_remat, attn_impl=attn)
+
+        # frozen rides as an ARGUMENT (closing over it embeds the frozen
+        # weights as program constants — oversized remote-compile payload)
+        _prep_j = jax.jit(prepare_features)
+        prep_j = lambda b: _prep_j(frozen, b)
+        grad_j = jax.jit(lambda p, f: jax.value_and_grad(
+            _loss, has_aux=True)(p, f))
+        fwd_j = jax.jit(lambda p, f: _loss(p, f))
+
+        import optax
+
+        def upd(g, o, p):
+            u, o2 = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o2
+        # donate opt_state+params and chain them through the timing loop:
+        # un-donated, each async dispatch allocates a fresh ~5 GB
+        # (params+opt_state) output while prior outputs are still queued —
+        # OOM at flagship shapes. Consumes `state`, which breakdown mode no
+        # longer needs.
+        opt_j = jax.jit(upd, donate_argnums=(1, 2))
+
+        def timeit(fn, *a, reps=10):
+            out = fn(*a)
+            jax.device_get(jax.tree.leaves(out)[0])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*a)
+            jax.device_get(jax.tree.leaves(out)[0])
+            return (time.perf_counter() - t0) / reps * 1000
+
+        # prep sub-phases (each its own program; ratios are the signal)
+        from genvc_tpu.dsp import mel as mel_mod
+        from genvc_tpu.dsp.resample import resample as _resample
+        from genvc_tpu.models import contentvec as _cv, dvae as _dvae
+
+        def _sub_mel(fz, b):
+            return mel_mod.mel_torchaudio(b["conditioning"][:, 0, 0, :],
+                                          fz.style_spec, fz.mel_norms)
+
+        def _sub_cv(fz, b):
+            wav = b["wav"][:, 0, :]
+            cw = _resample(wav, fz.sample_rate, fz.content_sample_rate)
+            cw = jnp.pad(cw, ((0, 0), (0, int(fz.text_frame_rate *
+                                              fz.content_sample_rate))))
+            return _cv.extract_content_features(fz.contentvec_params, cw)
+
+        def _sub_tok(fz, b):
+            wav = b["wav"][:, 0, :]
+            m = mel_mod.mel_torchaudio(wav, fz.dvae_spec, fz.mel_norms)
+            return _dvae.get_codebook_indices(fz.acoustic_dvae_params, m,
+                                              fz.acoustic_dvae_cfg)
+
+        sub_mel = jax.jit(_sub_mel)
+        sub_cv = jax.jit(_sub_cv)
+        sub_tok = jax.jit(_sub_tok)
+
+        feats = prep_j(bd_b0)
+        breakdown = {
+            "batch": bd_batch,
+            "prepare_features_ms": round(timeit(prep_j, bd_b0), 1),
+            "prep_cond_mel_ms": round(timeit(sub_mel, frozen, bd_b0), 1),
+            "prep_contentvec_ms": round(timeit(sub_cv, frozen, bd_b0), 1),
+            "prep_dvae_mel_tokenize_ms": round(
+                timeit(sub_tok, frozen, bd_b0), 1),
+            "forward_ms": round(timeit(fwd_j, state.params, feats), 1),
+            # grad timing FIRST, with no grads tree alive: holding the
+            # warm-up call's grads while the program re-executes doubles
+            # grad memory and OOMs at B>=16
+            "forward_backward_ms": round(
+                timeit(grad_j, state.params, feats), 1),
+        }
+        (_, _), grads = grad_j(state.params, feats)
+        p, o = opt_j(grads, state.opt_state, state.params)
+        jax.device_get(jax.tree.leaves(p)[0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            p, o = opt_j(grads, o, p)
+        jax.device_get(jax.tree.leaves(p)[0])
+        breakdown["optimizer_ms"] = round(
+            (time.perf_counter() - t0) / 10 * 1000, 1)
+        del grads, feats, p, o
 
     tokens_per_step = batch * text_len * (1 + 1.875)  # text + audio tokens
     # analytic transformer FLOPs (XLA cost_analysis misses Pallas custom
@@ -127,7 +248,7 @@ def main():
     flops_analytic = 6 * seq_tokens * p_core * (4 / 3 if use_remat else 1.0)
     result = {
         "metric": "gpt_train_step_ms",
-        "value": round(step_ms, 1),
+        "value": round(step_ms, 1) if step_ms is not None else None,
         "unit": "ms",
         "vs_baseline": None,  # the reference publishes no training numbers
         "batch": batch,
@@ -135,18 +256,23 @@ def main():
         "layers": layers,
         "dtype": "bf16" if use_bf16 else "f32",
         "attention": attn,
-        "loss": round(float(metrics["loss"]), 3),
-        "tokens_per_sec": round(tokens_per_step / (step_ms / 1000), 0),
-        "compile_s": round(compile_s, 1),
+        "loss": (round(float(metrics["loss"]), 3)
+                 if metrics is not None else None),
+        "tokens_per_sec": (round(tokens_per_step / (step_ms / 1000), 0)
+                           if step_ms else None),
+        "compile_s": round(compile_s, 1) if compile_s is not None else None,
         "device": str(jax.devices()[0]),
     }
     result["remat"] = use_remat
-    achieved = flops_analytic / (step_ms / 1000)
-    result["tflops_per_sec"] = round(achieved / 1e12, 1)
-    result["mfu"] = round(achieved / (peak_tflops * 1e12), 3)
+    if step_ms:
+        achieved = flops_analytic / (step_ms / 1000)
+        result["tflops_per_sec"] = round(achieved / 1e12, 1)
+        result["mfu"] = round(achieved / (peak_tflops * 1e12), 3)
     if step_flops:
         # XLA's own count (undercounts Pallas custom calls) for reference
         result["xla_flops_per_step"] = step_flops
+    if breakdown is not None:
+        result["breakdown"] = breakdown
     print(json.dumps(result))
 
 

@@ -178,7 +178,8 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
                     text_ce_weight: float = 0.01, mel_ce_weight: float = 1.0,
                     fix_condition_embeddings: bool = True,
                     compute_dtype=None, remat: bool = False,
-                    attn_impl: str | None = "xla"):
+                    attn_impl: str | None = "xla",
+                    grad_norms: bool = False):
     """Returns (train_step, eval_step); both take the FrozenModules pytree as
     an explicit argument (see FrozenModules docstring).
 
@@ -213,6 +214,14 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
         feats = jax.lax.stop_gradient(prepare_features(frozen, batch))
         (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(
             state.params, feats)
+        if grad_norms:
+            # per-module gradient L2 norms — the scalar core of the
+            # reference's wandb.watch(model) gradient tracking
+            # (gpt_trainer.py:48); fused into the step (cheap reductions),
+            # logged under the same per-module naming
+            for mod, sub in grads.items():
+                metrics[f"grad_norm/{mod}"] = optax.global_norm(sub)
+            metrics["grad_norm/total"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return GPTTrainState(params, opt_state, state.step + 1), metrics

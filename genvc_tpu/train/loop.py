@@ -70,6 +70,34 @@ class Logger:
         if self.is_main:
             print(msg, flush=True)
 
+    def log_histograms(self, tree: dict, step: int | None = None,
+                       prefix: str = "grad"):
+        """Per-top-level-module value histograms of a pytree (gradients or
+        params) — the full wandb.watch(model) surface of the reference
+        (gpt_trainer.py:48). Costs a device->host fetch of the tree; call on
+        a cadence (e.g. every 100 steps), not per step. Without wandb, logs
+        per-module [min, max, l2] summaries to the jsonl."""
+        if not self.is_main:
+            return
+        import numpy as np
+
+        for mod, sub in tree.items():
+            leaves = [np.asarray(x).ravel() for x in jax.tree.leaves(sub)]
+            if not leaves:
+                continue
+            flat = np.concatenate(leaves)
+            if self.wandb is not None:
+                self.wandb.log({f"{prefix}/{mod}": self.wandb.Histogram(flat)},
+                               step=step)
+            if self.jsonl is not None:
+                rec = {f"{prefix}/{mod}/min": float(flat.min()),
+                       f"{prefix}/{mod}/max": float(flat.max()),
+                       f"{prefix}/{mod}/l2": float(np.linalg.norm(flat))}
+                if step is not None:
+                    rec["step"] = step
+                self.jsonl.write(json.dumps(rec) + "\n")
+                self.jsonl.flush()
+
 
 class CheckpointManager:
     """Keep-N orbax checkpoints with resume (reference: save_n_checkpoints /

@@ -243,7 +243,10 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None,
         text_ce_weight=ma.gpt_loss_text_ce_weight,
         mel_ce_weight=ma.gpt_loss_mel_ce_weight,
         fix_condition_embeddings=ma.gpt_fix_condition_embeddings,
-        compute_dtype=jnp.bfloat16 if bf16 else None)
+        compute_dtype=jnp.bfloat16 if bf16 else None,
+        # per-module gradient tracking rides the wandb gate like the
+        # reference's wandb.watch(model) (gpt_trainer.py:48)
+        grad_norms=cfg.use_wandb)
     _jit_train = jax.jit(train_step, donate_argnums=(0,))
     _jit_eval = jax.jit(lambda s, b, fz: eval_step(s.params, b, fz))
     jit_train = lambda s, b: _jit_train(s, b, frozen)

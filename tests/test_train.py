@@ -279,3 +279,65 @@ def test_vocoder_split_steps_match_fused():
     assert mb["loss_gen"] == pytest.approx(float(ms["loss_gen"]), rel=0.05)
     # generator params moved and stayed f32
     assert sb.gen_params["conv_pre"]["v"].dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_gpt_grad_norm_metrics_and_histograms(tmp_path):
+    """grad_norms=True adds per-module gradient L2 metrics to the train step
+    (the scalar core of the reference's wandb.watch, gpt_trainer.py:48), and
+    Logger.log_histograms writes per-module summaries to the jsonl."""
+    import json
+
+    from genvc_tpu.train import loop
+
+    cfg = GenVCConfig()
+    for c, ch, nt in ((cfg.acoustic_dvae_config, 80, 48),
+                      (cfg.content_dvae_config, 256, 36)):
+        c.num_channels, c.num_tokens = ch, nt
+        c.hidden_dim, c.codebook_dim = 8, 16
+    frozen_tree = {
+        "contentvec": contentvec.init_params(jax.random.key(1), n_layers=1),
+        "acoustic_dvae": dvae.init_params(jax.random.key(2), dvae.DVAEConfig(
+            channels=80, num_tokens=48, codebook_dim=16, hidden_dim=8)),
+        "content_dvae": dvae.init_params(jax.random.key(3), dvae.DVAEConfig(
+            channels=256, num_tokens=36, codebook_dim=16, hidden_dim=8)),
+    }
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, np.ones(80, np.float32))
+    gcfg = gpt_model.GPTConfig(layers=1, model_dim=64, heads=2)
+    params = gpt_model.init_params(jax.random.key(4), gcfg)
+    tx = optim.adamw_grouped(1e-4, params=params)
+    state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
+    train_step, _ = gpt_stage.make_train_step(gcfg, tx, grad_norms=True)
+
+    rng = np.random.default_rng(0)
+    t_wav = 2 * 1920
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal((2, 1, t_wav)) * 0.1,
+                           jnp.float32),
+        "wav_lengths": jnp.full((2,), t_wav, jnp.int32),
+        "conditioning": jnp.asarray(
+            rng.standard_normal((2, 1, 1, 24000)) * 0.1, jnp.float32),
+        "cond_lens": jnp.full((2,), 24000, jnp.int32),
+        "text_lengths": jnp.full((2,), t_wav // 1920, jnp.int32),
+    }
+    state2, metrics = jax.jit(train_step)(state, batch, frozen)
+    norm_keys = [k for k in metrics if k.startswith("grad_norm/")]
+    assert "grad_norm/total" in metrics
+    assert len(norm_keys) > 2  # total + per-module entries
+    for k in norm_keys:
+        v = float(metrics[k])
+        assert np.isfinite(v) and v >= 0.0
+
+    assert float(metrics["grad_norm/total"]) > 0.0
+
+    logger = loop.Logger(use_wandb=False, out_dir=str(tmp_path))
+    grads_like = {"core": params["core"], "mel_head": params["mel_head"]}
+    logger.log_histograms(grads_like, step=1)
+    lines = [json.loads(l) for l in
+             open(tmp_path / "train_log.jsonl").read().splitlines()]
+    mods = {k.split("/")[1] for rec in lines for k in rec if "/" in k}
+    assert {"core", "mel_head"} <= mods
+    for rec in lines:
+        for k, v in rec.items():
+            if k.endswith("/l2"):
+                assert np.isfinite(v)
