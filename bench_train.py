@@ -164,7 +164,6 @@ def main():
         prep_j = lambda b: _prep_j(frozen, b)
         grad_j = jax.jit(lambda p, f: jax.value_and_grad(
             _loss, has_aux=True)(p, f))
-        fwd_j = jax.jit(lambda p, f: _loss(p, f))
 
         import optax
 
@@ -178,14 +177,40 @@ def main():
         # longer needs.
         opt_j = jax.jit(upd, donate_argnums=(1, 2))
 
-        def timeit(fn, *a, reps=10):
-            out = fn(*a)
-            jax.device_get(jax.tree.leaves(out)[0])
-            t0 = time.perf_counter()
-            for _ in range(reps):
+        # Timing methodology (remote-tunnel hazards, measured 2026-08-19):
+        # (a) unfetched async executions are ELIDED by the remote runtime —
+        #     fetch-last-of-N loops under-report ~5x; (b) fetching a multi-MB
+        #     output costs ~25 ms/MB of tunnel bandwidth — per-call sync on a
+        #     raw output over-reports; (c) chaining through a SEPARATE
+        #     reduction program per rep adds ~100 ms/dispatch. The robust
+        #     recipe: fuse a scalar reduction into the measured program
+        #     itself, hard-sync every rep via float(), rotate distinct staged
+        #     inputs, and subtract the measured trivial-program RTT.
+        def _scalarize(fn):
+            def s(*a):
                 out = fn(*a)
-            jax.device_get(jax.tree.leaves(out)[0])
-            return (time.perf_counter() - t0) / reps * 1000
+                return sum(jnp.sum(x).astype(jnp.float32)
+                           for x in jax.tree.leaves(out))
+            return jax.jit(s)
+
+        def timeit(fn_scalar, cycle, reps=6):
+            float(fn_scalar(*cycle[0]))  # warm / compile
+            ts = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                float(fn_scalar(*cycle[i % len(cycle)]))
+                ts.append((time.perf_counter() - t0) * 1000)
+            return float(np.median(ts))
+
+        _one = jax.jit(lambda x: x + 1.0)
+        _z = jnp.float32(0)
+        float(_one(_z))
+        _rtts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            float(_one(_z))
+            _rtts.append((time.perf_counter() - t0) * 1000)
+        rtt = float(np.median(_rtts))
 
         # prep sub-phases (each its own program; ratios are the signal)
         from genvc_tpu.dsp import mel as mel_mod
@@ -209,24 +234,31 @@ def main():
             return _dvae.get_codebook_indices(fz.acoustic_dvae_params, m,
                                               fz.acoustic_dvae_cfg)
 
-        sub_mel = jax.jit(_sub_mel)
-        sub_cv = jax.jit(_sub_cv)
-        sub_tok = jax.jit(_sub_tok)
+        sub_mel = _scalarize(_sub_mel)
+        sub_cv = _scalarize(_sub_cv)
+        sub_tok = _scalarize(_sub_tok)
+        prep_s = _scalarize(prepare_features)
+        fwd_s = _scalarize(lambda p, f: _loss(p, f)[0])
+        grad_s = _scalarize(lambda p, f: jax.value_and_grad(
+            _loss, has_aux=True)(p, f))
 
-        feats = prep_j(bd_b0)
+        # distinct staged input variants (identical dispatches risk dedup)
+        bd_variants = [bd_b0] + [jax.tree.map(lambda x: x[:bd_batch], make())
+                                 for _ in range(2)]
+        frozen_cycle = [(frozen, b) for b in bd_variants]
+        feat_variants = [prep_j(b) for b in bd_variants]
+        feats = feat_variants[0]
+        feat_cycle = [(state.params, f) for f in feat_variants]
+        sub = lambda ms: round(max(ms - rtt, 0.0), 1)
         breakdown = {
             "batch": bd_batch,
-            "prepare_features_ms": round(timeit(prep_j, bd_b0), 1),
-            "prep_cond_mel_ms": round(timeit(sub_mel, frozen, bd_b0), 1),
-            "prep_contentvec_ms": round(timeit(sub_cv, frozen, bd_b0), 1),
-            "prep_dvae_mel_tokenize_ms": round(
-                timeit(sub_tok, frozen, bd_b0), 1),
-            "forward_ms": round(timeit(fwd_j, state.params, feats), 1),
-            # grad timing FIRST, with no grads tree alive: holding the
-            # warm-up call's grads while the program re-executes doubles
-            # grad memory and OOMs at B>=16
-            "forward_backward_ms": round(
-                timeit(grad_j, state.params, feats), 1),
+            "tunnel_rtt_ms": round(rtt, 1),
+            "prepare_features_ms": sub(timeit(prep_s, frozen_cycle)),
+            "prep_cond_mel_ms": sub(timeit(sub_mel, frozen_cycle)),
+            "prep_contentvec_ms": sub(timeit(sub_cv, frozen_cycle)),
+            "prep_dvae_mel_tokenize_ms": sub(timeit(sub_tok, frozen_cycle)),
+            "forward_ms": sub(timeit(fwd_s, feat_cycle)),
+            "forward_backward_ms": sub(timeit(grad_s, feat_cycle)),
         }
         (_, _), grads = grad_j(state.params, feats)
         p, o = opt_j(grads, state.opt_state, state.params)
