@@ -40,7 +40,14 @@ def main():
     text_len = int(os.environ.get("TRAIN_TEXT_LEN", "50"))
     layers = int(os.environ.get("TRAIN_LAYERS", "30"))
     use_bf16 = os.environ.get("TRAIN_DTYPE", "bf16") == "bf16"
-    use_remat = os.environ.get("TRAIN_REMAT", "0") == "1"
+    # TRAIN_REMAT: 0 (store everything), 1 (full per-block remat), or
+    # "dots" (policy remat: save MXU matmul outputs, recompute glue)
+    _rm = os.environ.get("TRAIN_REMAT", "0")
+    use_remat = "dots" if _rm == "dots" else _rm == "1"
+    # TRAIN_CONTENT_DTYPE=bf16: opt-in bf16 ContentVec forward in
+    # prepare_features (content codes may flip; see gpt_stage docstring)
+    content_dtype = (jnp.bfloat16 if os.environ.get(
+        "TRAIN_CONTENT_DTYPE", "f32") == "bf16" else None)
     peak_tflops = float(os.environ.get("TPU_PEAK_TFLOPS", "197"))
     # TRAIN_ATTN=flash|xla — A/B the Pallas flash-attention kernel vs the XLA
     # dense-bias attention path inside the identical train step (default xla:
@@ -72,7 +79,7 @@ def main():
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
     train_step, _ = gpt_stage.make_train_step(
         gcfg, tx, compute_dtype=jnp.bfloat16 if use_bf16 else None,
-        remat=use_remat, attn_impl=attn)
+        remat=use_remat, attn_impl=attn, content_dtype=content_dtype)
     _jit = jax.jit(train_step, donate_argnums=(0,))
     jit_step = lambda s, b: _jit(s, b, frozen)
 
@@ -160,7 +167,8 @@ def main():
 
         # frozen rides as an ARGUMENT (closing over it embeds the frozen
         # weights as program constants — oversized remote-compile payload)
-        _prep_j = jax.jit(prepare_features)
+        _prep_j = jax.jit(
+            lambda fz, b: prepare_features(fz, b, content_dtype=content_dtype))
         prep_j = lambda b: _prep_j(frozen, b)
         grad_j = jax.jit(lambda p, f: jax.value_and_grad(
             _loss, has_aux=True)(p, f))
@@ -177,15 +185,14 @@ def main():
         # longer needs.
         opt_j = jax.jit(upd, donate_argnums=(1, 2))
 
-        # Timing methodology (remote-tunnel hazards, measured 2026-08-19):
-        # (a) unfetched async executions are ELIDED by the remote runtime —
-        #     fetch-last-of-N loops under-report ~5x; (b) fetching a multi-MB
-        #     output costs ~25 ms/MB of tunnel bandwidth — per-call sync on a
-        #     raw output over-reports; (c) chaining through a SEPARATE
-        #     reduction program per rep adds ~100 ms/dispatch. The robust
-        #     recipe: fuse a scalar reduction into the measured program
-        #     itself, hard-sync every rep via float(), rotate distinct staged
-        #     inputs, and subtract the measured trivial-program RTT.
+        # Timing methodology (remote-tunnel hazards, measured 2026-08-19;
+        # full notes in ROUND4_NOTES "Remote-tunnel measurement semantics"):
+        # (a) fetching a multi-MB output costs ~25 ms/MB of tunnel bandwidth
+        #     — per-call sync on a raw output over-reports small programs;
+        # (b) per-dispatch overhead is ~15 ms even on async loops. The
+        #     robust recipe: fuse a scalar reduction into the measured
+        #     program itself, hard-sync every rep via float(), rotate
+        #     distinct staged inputs, subtract the measured RTT.
         def _scalarize(fn):
             def s(*a):
                 out = fn(*a)
@@ -226,7 +233,8 @@ def main():
             cw = _resample(wav, fz.sample_rate, fz.content_sample_rate)
             cw = jnp.pad(cw, ((0, 0), (0, int(fz.text_frame_rate *
                                               fz.content_sample_rate))))
-            return _cv.extract_content_features(fz.contentvec_params, cw)
+            return _cv.extract_content_features(fz.contentvec_params, cw,
+                                                compute_dtype=content_dtype)
 
         def _sub_tok(fz, b):
             wav = b["wav"][:, 0, :]
@@ -237,7 +245,9 @@ def main():
         sub_mel = _scalarize(_sub_mel)
         sub_cv = _scalarize(_sub_cv)
         sub_tok = _scalarize(_sub_tok)
-        prep_s = _scalarize(prepare_features)
+        prep_s = _scalarize(
+            lambda fz, b: prepare_features(fz, b,
+                                           content_dtype=content_dtype))
         fwd_s = _scalarize(lambda p, f: _loss(p, f)[0])
         grad_s = _scalarize(lambda p, f: jax.value_and_grad(
             _loss, has_aux=True)(p, f))
@@ -277,7 +287,9 @@ def main():
     mel_tokens = t_wav // 1024 + 6  # codes + start/stop/pad formatting
     seq_tokens = batch * (32 + text_len + 2 + mel_tokens)
     p_core = 12 * layers * 1024 * 1024
-    flops_analytic = 6 * seq_tokens * p_core * (4 / 3 if use_remat else 1.0)
+    # "dots" remat recomputes only elementwise glue — no extra matmul FLOPs
+    flops_analytic = 6 * seq_tokens * p_core * (
+        4 / 3 if use_remat is True else 1.0)
     result = {
         "metric": "gpt_train_step_ms",
         "value": round(step_ms, 1) if step_ms is not None else None,

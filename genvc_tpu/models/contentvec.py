@@ -48,46 +48,25 @@ def frame_count(n_samples: int) -> int:
 
 def _group_norm_per_channel(p, x, valid_len=None, eps=1e-5):
     """GroupNorm(num_groups=C, C): normalize each channel over time.
-    x: (B, T, C) channels-last. ``valid_len`` restricts the statistics to the
-    true length — the stats are global over time, so static zero-padding would
-    otherwise change every frame's normalization vs the reference's
-    exact-length run."""
+    x: (B, C, T). ``valid_len`` restricts the statistics to the true length —
+    the stats are global over time, so static zero-padding would otherwise
+    change every frame's normalization vs the reference's exact-length run."""
     if valid_len is None:
-        mean = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     else:
-        t = x.shape[1]
-        m = (jnp.arange(t)[None, :, None] < valid_len[:, None, None]).astype(x.dtype)
-        cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
-        mean = jnp.sum(x * m, axis=1, keepdims=True) / cnt
-        var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / cnt
+        t = x.shape[-1]
+        m = (jnp.arange(t)[None, None, :] < valid_len[:, None, None]).astype(x.dtype)
+        cnt = jnp.maximum(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+        mean = jnp.sum(x * m, axis=-1, keepdims=True) / cnt
+        var = jnp.sum(jnp.square(x - mean) * m, axis=-1, keepdims=True) / cnt
     xn = (x - mean) * jax.lax.rsqrt(var + eps)
-    return xn * p["scale"][None, None, :] + p["bias"][None, None, :]
-
-
-def _conv_im2col(w, x, k: int, s: int):
-    """Bias-free VALID 1-D conv as an im2col matmul, channels-last.
-
-    x: (B, T, I), w: (O, I, K) torch layout -> (B, T_out, O). On TPU the
-    XLA:TPU lowering of the NCH spatial conv at these shapes is ~6x off the
-    matmul path (measured: one (8,512,12863) k=3 s=2 layer 357 ms as a conv
-    vs the whole 7-layer frontend ~20 ms via im2col), so the frontend feeds
-    the MXU directly: K strided slices concatenated k-major, one
-    (B*T_out, K*I) x (K*I, O) contraction at HIGHEST precision — numerics
-    identical to the conv within f32 accumulation order."""
-    t = x.shape[1]
-    t_out = (t - k) // s + 1
-    span = (t_out - 1) * s + 1
-    patches = jnp.concatenate(
-        [jax.lax.slice_in_dim(x, d, d + span, stride=s, axis=1)
-         for d in range(k)], axis=-1)                  # (B, T_out, K*I)
-    wm = jnp.transpose(w, (2, 1, 0)).reshape(k * w.shape[1], w.shape[0])
-    return jnp.einsum("btf,fo->bto", patches, wm,
-                      precision=jax.lax.Precision.HIGHEST)
+    return xn * p["scale"][None, :, None] + p["bias"][None, :, None]
 
 
 def feature_extractor(params, wav: jnp.ndarray,
-                      sample_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                      sample_valid: jnp.ndarray | None = None,
+                      compute_dtype=jnp.float32) -> jnp.ndarray:
     """(B, T) 16 kHz waveform -> (B, T', 512) conv features @ 50 Hz.
 
     With ``sample_valid`` (true lengths of statically padded rows), valid
@@ -95,27 +74,23 @@ def feature_extractor(params, wav: jnp.ndarray,
     zeroed after each layer, so valid positions match an exact-length run
     (bias-free convs of zeros are zero; GroupNorm stats are masked).
 
-    Runs channels-last with each conv as an im2col matmul (see _conv_im2col)."""
-    x = wav[:, :, None].astype(jnp.float32)
+    ``compute_dtype=jnp.bfloat16`` runs the conv stack in bf16 (weights cast
+    by conv1d to the input dtype; f32 MXU accumulation) — opt-in for the
+    training-target path, see extract_content_features."""
+    x = wav[:, None, :].astype(compute_dtype)
     valid = sample_valid
     for i, (layer, (_, k, s)) in enumerate(zip(params["feature_extractor"],
                                                CONV_LAYERS)):
-        w = layer["conv"].get("w")
-        if w is None:  # weight-normed variant (folded on the fly)
-            v = layer["conv"]["v"]
-            axes = tuple(range(1, v.ndim))
-            norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
-            w = layer["conv"]["g"] * v / jnp.maximum(norm, 1e-12)
-        x = _conv_im2col(w, x, k, s)
+        x = conv1d(layer["conv"], x, stride=s)
         if valid is not None:
             valid = jnp.maximum((valid - k) // s + 1, 0)
         if "norm" in layer:
             x = _group_norm_per_channel(layer["norm"], x, valid)
         x = nn.gelu_exact(x)
         if valid is not None:
-            t = x.shape[1]
-            x = x * (jnp.arange(t)[None, :, None] < valid[:, None, None])
-    return x
+            t = x.shape[-1]
+            x = x * (jnp.arange(t)[None, None, :] < valid[:, None, None])
+    return jnp.swapaxes(x, 1, 2)
 
 
 def _self_attn(p, x, key_valid):
@@ -140,15 +115,29 @@ def _encoder_layer(p, x, key_valid):
 
 
 def extract_content_features(params, wav: jnp.ndarray,
-                             sample_valid: jnp.ndarray | None = None
-                             ) -> jnp.ndarray:
+                             sample_valid: jnp.ndarray | None = None,
+                             compute_dtype=None) -> jnp.ndarray:
     """(B, T) @16 kHz -> (B, T', 256) content features.
 
     ``sample_valid``: optional (B,) true sample counts for statically padded
     input — combined with the zero-sample rule to build the frame padding mask
     exactly as the reference does on exact-length input.
+
+    ``compute_dtype=jnp.bfloat16``: opt-in bf16 compute for the whole
+    extractor (output upcast to f32). The default stays f32 — the reference
+    trains in f32 and these features become VQ training targets, where a
+    rounding can flip a code index. Measured on real sample audio, reduced
+    precision flipped 0/150 codes and the feature movement is ~1e-2 relative;
+    the training stage exposes this as an explicit speed knob
+    (content_dtype), never silently.
     """
-    feats = feature_extractor(params, wav, sample_valid)  # (B, T', 512)
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    params = jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    feats = feature_extractor(params, wav, sample_valid,
+                              compute_dtype=compute_dtype)  # (B, T', 512)
     b, t_frames, _ = feats.shape
 
     # fairseq forward_padding_mask: trim extra samples, frame is pad iff all
@@ -181,7 +170,7 @@ def extract_content_features(params, wav: jnp.ndarray,
         return _encoder_layer(lp, carry, frame_valid), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    return nn.linear(params["final_proj"], x)
+    return nn.linear(params["final_proj"], x).astype(jnp.float32)
 
 
 def init_params(key, n_layers: int = 12):

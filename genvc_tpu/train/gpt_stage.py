@@ -103,13 +103,21 @@ def make_frozen(cfg: GenVCConfig, tree: dict, mel_norms) -> FrozenModules:
     )
 
 
-def prepare_features(frozen: FrozenModules, batch: dict) -> dict:
+def prepare_features(frozen: FrozenModules, batch: dict,
+                     content_dtype=None) -> dict:
     """format_batch_on_device equivalent (gpt_trainer.py:198-254); all under
     implicit stop_gradient (no trainable params touched).
 
     batch: wav (B,1,T) @24k, wav_lengths (B,), conditioning (B,1,1,Tc),
     cond_lens (B,), text_lengths (B,).
     Returns dict with cond_mels, audio_codes, text_inputs added.
+
+    ``content_dtype=jnp.bfloat16``: opt-in bf16 ContentVec forward (the
+    dominant cost of this function; ~2x on the MXU). The acoustic path (mel
+    -> dVAE codes = the training LABELS) always stays f32; only the content
+    feature extractor is affected, and its output is upcast to f32 before
+    the content-dVAE tokenize so the VQ distance argmin runs in f32. Default
+    None = f32 everywhere, matching the reference's f32 training.
     """
     wav = batch["wav"][:, 0, :]           # (B, T)
     cond = batch["conditioning"][:, 0, 0, :]  # (B, Tc)
@@ -134,7 +142,8 @@ def prepare_features(frozen: FrozenModules, batch: dict) -> dict:
     pad = int(frozen.text_frame_rate * frozen.content_sample_rate)
     content_wav = jnp.pad(content_wav, ((0, 0), (0, pad)))
     feats = contentvec.extract_content_features(frozen.contentvec_params,
-                                                content_wav)
+                                                content_wav,
+                                                compute_dtype=content_dtype)
     text_codes = dvae.get_codebook_indices(
         frozen.content_dvae_params, jnp.swapaxes(feats, 1, 2),
         frozen.content_dvae_cfg)
@@ -156,7 +165,7 @@ def prepare_features(frozen: FrozenModules, batch: dict) -> dict:
 
 def loss_fn(params, gcfg: gpt_model.GPTConfig, feats: dict,
             text_ce_weight: float, mel_ce_weight: float,
-            fix_condition_embeddings: bool = True, remat: bool = True,
+            fix_condition_embeddings: bool = True, remat: bool | str = True,
             attn_impl: str | None = "xla"):
     # attn_impl="xla": the dense-bias attention beats the Pallas kernel
     # inside the remat+scan training step at GenVC sequence lengths
@@ -177,9 +186,9 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
                     tx: optax.GradientTransformation,
                     text_ce_weight: float = 0.01, mel_ce_weight: float = 1.0,
                     fix_condition_embeddings: bool = True,
-                    compute_dtype=None, remat: bool = False,
+                    compute_dtype=None, remat: bool | str = False,
                     attn_impl: str | None = "xla",
-                    grad_norms: bool = False):
+                    grad_norms: bool = False, content_dtype=None):
     """Returns (train_step, eval_step); both take the FrozenModules pytree as
     an explicit argument (see FrozenModules docstring).
 
@@ -211,7 +220,8 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
                        attn_impl=attn_impl)
 
     def train_step(state: GPTTrainState, batch: dict, frozen: FrozenModules):
-        feats = jax.lax.stop_gradient(prepare_features(frozen, batch))
+        feats = jax.lax.stop_gradient(
+            prepare_features(frozen, batch, content_dtype=content_dtype))
         (loss, metrics), grads = jax.value_and_grad(_loss, has_aux=True)(
             state.params, feats)
         if grad_norms:
@@ -227,7 +237,7 @@ def make_train_step(gcfg: gpt_model.GPTConfig,
         return GPTTrainState(params, opt_state, state.step + 1), metrics
 
     def eval_step(params, batch: dict, frozen: FrozenModules):
-        feats = prepare_features(frozen, batch)
+        feats = prepare_features(frozen, batch, content_dtype=content_dtype)
         _, metrics = _loss(params, feats)
         return metrics
 

@@ -159,14 +159,20 @@ def run_vae_training(cfg: VAEConfig, max_steps: int | None = None,
 
 def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None,
                      max_eval_batches: int | None = None, n_model: int = 1,
-                     bf16: bool = False):
+                     bf16: bool = False, remat: bool | str = False,
+                     content_bf16: bool = False):
     """n_model > 1 enables megatron-style tensor parallelism over a 2-D
     (data, model) mesh: GPT attention/MLP weights shard column/row-parallel
     (parallel/mesh.py:gpt_param_specs) and GSPMD inserts the ICI
     all-reduces. The flagship fits one chip, so this is a capability knob.
 
     bf16=True runs the trainable GPT's matmuls in bfloat16 (f32 master
-    params; frozen tokenizers stay full precision — see gpt_stage)."""
+    params; frozen tokenizers stay full precision — see gpt_stage).
+    remat: False / True / "dots" (policy remat: saves MXU matmul outputs,
+    recomputes elementwise glue — near-no-remat speed at a fraction of the
+    activation memory). content_bf16=True opts the frozen ContentVec forward
+    into bf16 (prepare_features docstring has the code-flip caveat);
+    measured together at B=24 flagship: 160.7 -> 133.8 ms/step."""
     mesh = _data_mesh(cfg.batch_size, n_model=n_model)
     logger = loop.Logger(cfg.use_wandb, cfg.wandb_project, cfg.wandb_run_name,
                          cfg.output_path)
@@ -244,6 +250,8 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None,
         mel_ce_weight=ma.gpt_loss_mel_ce_weight,
         fix_condition_embeddings=ma.gpt_fix_condition_embeddings,
         compute_dtype=jnp.bfloat16 if bf16 else None,
+        remat=remat,
+        content_dtype=jnp.bfloat16 if content_bf16 else None,
         # per-module gradient tracking rides the wandb gate like the
         # reference's wandb.watch(model) (gpt_trainer.py:48)
         grad_norms=cfg.use_wandb)

@@ -341,3 +341,66 @@ def test_gpt_grad_norm_metrics_and_histograms(tmp_path):
         for k, v in rec.items():
             if k.endswith("/l2"):
                 assert np.isfinite(v)
+
+
+def test_contentvec_bf16_close_to_f32():
+    """compute_dtype=bf16 on the content extractor stays close to f32 and
+    upcasts its output (the opt-in speed knob, gpt_stage.prepare_features)."""
+    params = contentvec.init_params(jax.random.key(0), n_layers=2)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 3520)) * 0.1, jnp.float32)
+    f32 = np.asarray(contentvec.extract_content_features(params, wav))
+    b16 = np.asarray(contentvec.extract_content_features(
+        params, wav, compute_dtype=jnp.bfloat16))
+    assert b16.dtype == np.float32
+    denom = np.maximum(np.abs(f32), 1e-3)
+    assert np.median(np.abs(b16 - f32) / denom) < 0.05
+
+
+@pytest.mark.slow
+def test_gpt_train_step_dots_remat_and_content_bf16():
+    """remat='dots' + content_dtype=bf16 (the measured fast recipe,
+    160.7 -> 133.8 ms/step at B=24 flagship) runs and matches the default
+    step's loss closely on tiny shapes."""
+    cfg = GenVCConfig()
+    for c, ch, nt in ((cfg.acoustic_dvae_config, 80, 48),
+                      (cfg.content_dvae_config, 256, 36)):
+        c.num_channels, c.num_tokens = ch, nt
+        c.hidden_dim, c.codebook_dim = 8, 16
+    frozen_tree = {
+        "contentvec": contentvec.init_params(jax.random.key(1), n_layers=1),
+        "acoustic_dvae": dvae.init_params(jax.random.key(2), dvae.DVAEConfig(
+            channels=80, num_tokens=48, codebook_dim=16, hidden_dim=8)),
+        "content_dvae": dvae.init_params(jax.random.key(3), dvae.DVAEConfig(
+            channels=256, num_tokens=36, codebook_dim=16, hidden_dim=8)),
+    }
+    frozen = gpt_stage.make_frozen(cfg, frozen_tree, np.ones(80, np.float32))
+    gcfg = gpt_model.GPTConfig(layers=2, model_dim=64, heads=2)
+    params = gpt_model.init_params(jax.random.key(4), gcfg)
+    tx = optim.adamw_grouped(1e-4, params=params)
+    state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
+
+    rng = np.random.default_rng(0)
+    t_wav = 2 * 1920
+    batch = {
+        "wav": jnp.asarray(rng.standard_normal((2, 1, t_wav)) * 0.1,
+                           jnp.float32),
+        "wav_lengths": jnp.full((2,), t_wav, jnp.int32),
+        "conditioning": jnp.asarray(
+            rng.standard_normal((2, 1, 1, 24000)) * 0.1, jnp.float32),
+        "cond_lens": jnp.full((2,), 24000, jnp.int32),
+        "text_lengths": jnp.full((2,), t_wav // 1920, jnp.int32),
+    }
+
+    base_step, _ = gpt_stage.make_train_step(gcfg, tx)
+    _, m_base = jax.jit(base_step)(state, batch, frozen)
+
+    fast_step, _ = gpt_stage.make_train_step(
+        gcfg, tx, remat="dots", content_dtype=jnp.bfloat16)
+    _, m_fast = jax.jit(fast_step)(state, batch, frozen)
+
+    lb, lf = float(m_base["loss"]), float(m_fast["loss"])
+    assert np.isfinite(lf)
+    # same codes (or a couple of flips at most on tiny random weights):
+    # losses agree to a few percent
+    assert lf == pytest.approx(lb, rel=0.05)

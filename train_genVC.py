@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute on the trainable GPT "
                          "(f32 master params; frozen tokenizers stay f32)")
+    ap.add_argument("--remat", default="0", choices=["0", "1", "dots"],
+                    help="activation rematerialization: 0 store-all, 1 full "
+                         "per-block, dots = save MXU matmul outputs / "
+                         "recompute elementwise glue (fits B=24 flagship "
+                         "at near-no-remat speed)")
+    ap.add_argument("--content_bf16", action="store_true",
+                    help="bf16 frozen ContentVec forward in feature prep "
+                         "(~17%% faster B=24 step; content codes may flip "
+                         "vs f32 — see gpt_stage.prepare_features)")
     args = ap.parse_args()
 
     from genvc_tpu.config import (AudioConfig, GenVCConfig, GPTModelArgs,
@@ -83,11 +92,17 @@ def main():
         cfg.output_path = "exp/smoke_gpt"
         smoke_overrides(cfg, "exp/smoke_assets")
         run_gpt_training(cfg, max_steps=2, max_eval_batches=1,
-                         n_model=args.n_model, bf16=args.bf16)
+                         n_model=args.n_model, bf16=args.bf16,
+                         remat="dots" if args.remat == "dots"
+                         else args.remat == "1",
+                         content_bf16=args.content_bf16)
         return
     run_gpt_training(cfg, max_steps=args.max_steps,
                      max_eval_batches=args.max_eval_batches,
-                     n_model=args.n_model, bf16=args.bf16)
+                     n_model=args.n_model, bf16=args.bf16,
+                     remat="dots" if args.remat == "dots"
+                     else args.remat == "1",
+                     content_bf16=args.content_bf16)
 
 
 if __name__ == "__main__":
