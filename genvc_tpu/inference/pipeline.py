@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional
 
@@ -1299,8 +1300,10 @@ def build_pipeline(tree: dict, cfg: GenVCConfig, compute_dtype=jnp.float32,
         # Pallas fused cached attention for the AR decode loop: measured
         # faster than the XLA path at every batch size for both bf16 and f8
         # caches (B=1/8/16 step: 2.50/3.55/4.87 vs 2.70/3.95/5.14 ms bf16;
-        # engages on TPU only — engine falls back to XLA elsewhere)
-        fused_decode_attention=True)
+        # engages on TPU only — engine falls back to XLA elsewhere).
+        # GENVC_FUSED_DECODE=0 disables it (A/B and escape hatch).
+        fused_decode_attention=os.environ.get(
+            "GENVC_FUSED_DECODE", "1") != "0")
 
     def cast(x):
         x = jnp.asarray(x)
