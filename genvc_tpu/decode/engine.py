@@ -105,6 +105,24 @@ def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
         state_v = state_v.at[layer_idx, rows, :, cur_index, :].set(
             v[:, :, 0, :].astype(state_v.dtype))
 
+    # fused-path gates (beyond the backend check):
+    # * f32 caches stay on the XLA branch — the kernel computes in bf16, so
+    #   engaging it under an f32 cache/compute pipeline would silently change
+    #   decode numerics (token argmax can flip) vs the materialized f32 path;
+    # * Mosaic's trailing-dim block rule needs hd a 128 multiple and the
+    #   cache length an 8 multiple — other geometries (e.g. hd=64) fall back
+    #   instead of failing pallas_call compilation;
+    # * per-row position states (continuous-batching pools) stay on the XLA
+    #   branch: the per-row cache write is a scatter, and scatter-output ->
+    #   full-stacked-cache pallas operand defeats XLA's in-place aliasing —
+    #   measured 6.4x SLOWER pool ticks (103.6 -> 662.6 ms at a full
+    #   16-slot pool, interleaved A/B tools/ab_serving_drain.py; this was
+    #   round 4's serving drain regression, VERDICT r4 item 2). Lockstep
+    #   decode (scalar cur_index, dynamic_update_slice writes) is where the
+    #   kernel wins and stays on.
+    fused = (fused and state_k.dtype != jnp.float32
+             and cur_index.ndim == 0
+             and hd % 128 == 0 and state_k.shape[3] % 8 == 0)
     if fused and jax.default_backend() == "tpu":
         from genvc_tpu.ops import decode_attention as da
         bias2 = jnp.where(key_valid, 0.0, nn.NEG_INF).astype(jnp.float32)
@@ -578,6 +596,191 @@ def decode_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
     best_len = all_lens[best]
     # append the stop token (finalized hypotheses exclude it; callers strip
     # stop tokens like the reference inference does)
+    has_room = best_len < max_new
+    best_buf = jnp.where(
+        has_room,
+        best_buf.at[jnp.minimum(best_len, max_new - 1)].set(stop), best_buf)
+    n_tokens = jnp.where(has_room, best_len + 1, best_len)
+    return best_buf, n_tokens
+
+
+def decode_group_beam(params, cfg: gpt_model.GPTConfig, state: DecodeState,
+                      prefix_emb: jnp.ndarray, prefix_valid: jnp.ndarray,
+                      max_new: int, num_beams: int, num_beam_groups: int,
+                      diversity_penalty: float = 1.0,
+                      length_penalty: float = 1.0,
+                      repetition_penalty: float = 1.0,
+                      prefix_fake_len: jnp.ndarray | int | None = None):
+    """Group (diverse) beam search — the ``num_beam_groups > 1`` route of the
+    reference's vendored HF generator (layers/stream_generator.py:308-317,
+    mapping to HF ``group_beam_search``). The last routed decode mode.
+
+    HF semantics reproduced (parity-tested against the real
+    ``BeamSearchScorer`` group mode + ``HammingDiversityLogitsProcessor`` in
+    tests/test_group_beam.py):
+    * ``num_beams`` beams split into ``num_beam_groups`` groups of
+      ``gs = num_beams // num_beam_groups``; ONE forward per step for all
+      beams, then groups select sequentially,
+    * group ``g``'s log-softmax scores are penalized by
+      ``diversity_penalty * freq(token)`` where ``freq`` counts the tokens
+      already chosen by groups ``< g`` at THIS step (Hamming diversity);
+      the diversity processor runs BEFORE the repetition penalty (HF's
+      ``_get_logits_processor`` ordering), and group 0 is never penalized,
+    * per group: top ``2*gs`` flat candidates; EOS candidates ranked inside
+      the top ``gs`` finalize into that GROUP's hypothesis pool (capacity
+      ``gs``), normalized by HF's input_ids length (fake prefix included),
+    * score init: the FIRST beam of each group starts at 0, the rest at
+      -inf (HF ``beam_scores[:, ::num_sub_beams] = 0``) — groups diverge
+      through the diversity penalty even though all rows share the prefix,
+    * a group whose pool can no longer be beaten freezes exactly like HF's
+      done groups: its rows all copy local beam 0, emit the pad (=stop)
+      token — which later groups' diversity then penalizes — and its
+      running scores leave the race; frozen groups add nothing at finalize,
+    * loop ends when every group is done or ``max_new``; finalize adds the
+      running beams of non-done groups to their pools at the final length.
+
+    ``state`` must be ``init_state`` with ``batch == num_beams``. Returns
+    (tokens (max_new,), n_tokens) of the globally best hypothesis across all
+    group pools, stop-token-padded, including its stop token when room.
+    """
+    nb = num_beams
+    G = num_beam_groups
+    if nb % G != 0:
+        raise ValueError("num_beams must be divisible by num_beam_groups "
+                         f"(got {nb} / {G})")
+    gs = nb // G
+    v = cfg.num_audio_tokens
+    stop = cfg.stop_audio_token
+    if prefix_fake_len is None:
+        prefix_fake_len = prefix_emb.shape[1] + 1
+    prefix_fake_len = jnp.asarray(prefix_fake_len, jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+
+    filled, _, logits0 = prefill_logits(params, cfg, state, prefix_emb,
+                                        prefix_valid)
+
+    def step_groups(logits, seen, scores, bufs, fins, done, s):
+        """One full selection step: all groups in order. ``fins`` =
+        (fin_scores (G, gs), fin_bufs (G, gs, max_new), fin_lens (G, gs)).
+        Returns (parent_global (nb,), toks (nb,), scores, fins, done)."""
+        fin_scores, fin_bufs, fin_lens = fins
+        cur_len = prefix_fake_len + s.astype(jnp.float32)
+        norm = jnp.power(jnp.maximum(cur_len, 1.0), length_penalty)
+        # is_done is evaluated at HF's post-append length (input_ids + 1)
+        norm_next = jnp.power(jnp.maximum(cur_len + 1.0, 1.0), length_penalty)
+        rank = jnp.arange(2 * gs)
+
+        parents, toks, new_scores = [], [], []
+        new_fs, new_fb, new_fl, new_done = [], [], [], []
+        prev_toks = []   # tokens chosen by earlier groups this step
+        for g in range(G):
+            rows = slice(g * gs, (g + 1) * gs)
+            done_g = done[g]
+            logp = jax.nn.log_softmax(logits[rows].astype(jnp.float32),
+                                      axis=-1)
+            if g > 0:
+                freq = jnp.zeros((v,), jnp.float32).at[
+                    jnp.concatenate(prev_toks)].add(1.0)
+                logp = logp - diversity_penalty * freq[None, :]
+            logp = sampling.apply_repetition_penalty(logp, seen[rows],
+                                                     repetition_penalty)
+            cand = scores[rows][:, None] + logp            # (gs, V)
+            top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), 2 * gs)
+            parent_local = (top_idx // v).astype(jnp.int32)
+            tok = (top_idx % v).astype(jnp.int32)
+            is_eos = tok == stop
+
+            # EOS candidates in the top gs finalize into group g's pool
+            # (a frozen group adds nothing)
+            cand_fin = jnp.where(is_eos & (rank < gs) & ~done_g,
+                                 top_scores / norm, neg)
+            pool_scores = jnp.concatenate([fin_scores[g], cand_fin])
+            pool_bufs = jnp.concatenate(
+                [fin_bufs[g], bufs[g * gs + parent_local]], axis=0)
+            pool_lens = jnp.concatenate(
+                [fin_lens[g], jnp.full((2 * gs,), s, jnp.int32)])
+            keep_s, keep_i = jax.lax.top_k(pool_scores, gs)
+            new_fs.append(keep_s)
+            new_fb.append(pool_bufs[keep_i])
+            new_fl.append(pool_lens[keep_i])
+
+            # surviving beams: best non-EOS candidates in rank order;
+            # frozen groups copy local beam 0 and emit the pad (=stop) token
+            order = jnp.argsort(rank + jnp.where(is_eos, 4 * gs, 0))[:gs]
+            sel_parent = jnp.where(done_g, 0, parent_local[order])
+            sel_tok = jnp.where(done_g, stop, tok[order])
+            sel_scores = jnp.where(done_g, 0.0, top_scores[order])
+            parents.append(g * gs + sel_parent)
+            toks.append(sel_tok)
+            new_scores.append(sel_scores)
+            prev_toks.append(sel_tok)
+
+            # HF BeamHypotheses.is_done (early_stopping=False): pool full AND
+            # its worst kept score >= the best candidate's ceiling at the
+            # next length. Sticky once set.
+            best_cand = top_scores[0]
+            new_done.append(done_g | (jnp.min(keep_s) >= best_cand /
+                                      norm_next))
+
+        return (jnp.concatenate(parents), jnp.concatenate(toks),
+                jnp.concatenate(new_scores),
+                (jnp.stack(new_fs), jnp.stack(new_fb), jnp.stack(new_fl)),
+                jnp.stack(new_done))
+
+    # ---- step 0: selection on the prefill logits (rows identical; the
+    # per-group [0, -inf, ...] score init deduplicates like HF)
+    scores0 = jnp.where(jnp.arange(nb) % gs == 0, 0.0, neg)
+    bufs0 = jnp.full((nb, max_new), stop, jnp.int32)
+    fins0 = (jnp.full((G, gs), neg),
+             jnp.full((G, gs, max_new), stop, jnp.int32),
+             jnp.zeros((G, gs), jnp.int32))
+    done0 = jnp.zeros((G,), bool)
+    parent, tok, scores, fins, done = step_groups(
+        logits0, filled.seen, scores0, bufs0, fins0, done0, jnp.int32(0))
+    bufs = bufs0[parent].at[:, 0].set(tok)
+    seen = filled.seen[parent].at[jnp.arange(nb), tok].set(True)
+    st = DecodeState(
+        cache_k=filled.cache_k[:, parent], cache_v=filled.cache_v[:, parent],
+        key_valid=filled.key_valid[parent], cur_index=filled.cur_index,
+        n_generated=jnp.int32(1), last_token=tok, seen=seen,
+        finished=jnp.zeros((nb,), bool), rng=filled.rng)
+
+    def not_done(carry):
+        _, _, _, _, done, s = carry
+        return (s < max_new) & ~jnp.all(done)
+
+    def body(carry):
+        st, bufs, scores, fins, done, s = carry
+        cache_k, cache_v, key_valid, _, logits, _ = _decode_forward(
+            params, cfg, st)
+        parent, tok, new_scores, new_fins, new_done = step_groups(
+            logits, st.seen, scores, bufs, fins, done, s)
+        bufs = bufs[parent].at[:, s].set(tok)
+        seen = st.seen[parent].at[jnp.arange(nb), tok].set(True)
+        new_st = DecodeState(
+            cache_k=cache_k[:, parent], cache_v=cache_v[:, parent],
+            key_valid=key_valid[parent], cur_index=st.cur_index + 1,
+            n_generated=st.n_generated + 1, last_token=tok, seen=seen,
+            finished=st.finished, rng=st.rng)
+        return new_st, bufs, new_scores, new_fins, new_done, s + 1
+
+    st, bufs, scores, fins, done, s = jax.lax.while_loop(
+        not_done, body, (st, bufs, scores, fins, done, jnp.int32(1)))
+
+    # finalize: non-done groups add their running beams at the final length
+    fin_scores, fin_bufs, fin_lens = fins
+    cur_len = prefix_fake_len + s.astype(jnp.float32)
+    run_norm = scores / jnp.power(jnp.maximum(cur_len, 1.0), length_penalty)
+    run_norm = jnp.where(done[:, None], neg, run_norm.reshape(G, gs))
+    all_scores = jnp.concatenate([fin_scores, run_norm], axis=1).reshape(-1)
+    all_bufs = jnp.concatenate(
+        [fin_bufs, bufs.reshape(G, gs, max_new)], axis=1
+    ).reshape(-1, max_new)
+    all_lens = jnp.concatenate(
+        [fin_lens, jnp.full((G, gs), s, jnp.int32)], axis=1).reshape(-1)
+    best = jnp.argmax(all_scores)
+    best_buf = all_bufs[best]
+    best_len = all_lens[best]
     has_room = best_len < max_new
     best_buf = jnp.where(
         has_room,
