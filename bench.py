@@ -334,7 +334,60 @@ def main():
         "device": str(jax.devices()[0]),
         "baseline": {"rtf": 0.28, "latency_ms": 95.2, "hardware": "H100"},
     }
-    print(json.dumps(result))
+    # Full detail: sidecar file + an EARLY stdout line. The driver captures
+    # only the tail of stdout and parses the LAST line — round 4's single
+    # giant JSON line outgrew that window and the record parsed as null
+    # (VERDICT r4 item 1). The final line is therefore a compact headline
+    # bounded well under the capture window; everything else lives in
+    # BENCH_DETAIL.json (committed) and the earlier line.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception as e:
+        print(f"detail sidecar write failed: {e}", file=sys.stderr)
+    print("DETAIL " + json.dumps(result))
+
+    serving_head = None
+    if serving is not None:
+        serving_head = {
+            "pool_per_stream_rtf": serving.get("pool_per_stream_rtf"),
+            "realtime_streams": serving.get("realtime_streams"),
+            "max_sustainable_lambda_ttfa500ms": serving.get(
+                "max_sustainable_lambda_ttfa500ms"),
+        }
+        rows = serving.get("poisson") or []
+        at_cap = [r for r in rows if r.get("capacity_factor") == 1.0]
+        if at_cap:
+            serving_head["ttfa_ms_p95_at_capacity"] = at_cap[0]["ttfa_ms_p95"]
+    int8_head = None
+    if int8_section is not None:
+        int8_head = {"rtf_median": int8_section.get("rtf_median")}
+        combo = int8_section.get("int8_fp8_batch_scaling") or {}
+        if "16" in combo:
+            int8_head["int8_fp8_b16_rtf_per_stream"] = \
+                combo["16"]["rtf_per_stream"]
+    b16 = (batch_scaling or {}).get("16")
+    headline = {
+        "metric": "streaming_rtf",
+        "value": result["value"],
+        "unit": "ratio",
+        "vs_baseline": result["vs_baseline"],
+        "latency_ms_median": result["latency_ms_median"],
+        "latency_ms_p95": result["latency_ms_p95"],
+        "latency_ms_max": result["latency_ms_max"],
+        "rtf_p95": result["rtf_p95"],
+        "ar_tokens_per_sec": result["ar_tokens_per_sec"],
+        "b16_rtf_per_stream": b16["rtf_per_stream"] if b16 else None,
+        "max_realtime_streams": max_rt_streams,
+        "serving": serving_head,
+        "int8": int8_head,
+        "warmup_s": result["warmup_s"],
+        "dtype": result["dtype"],
+        "device": result["device"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
