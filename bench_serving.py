@@ -61,7 +61,12 @@ def poisson_load(pipe, src, ref, slots: int, lam: float, n_arrivals: int,
     while next_i < n_arrivals or not all(server.finished(s) for s in sids):
         now = time.perf_counter()
         if next_i < n_arrivals and now >= arrival_times[next_i]:
-            sids.append(server.submit(src, ref))
+            # backdate to the SCHEDULED arrival: when a long tick delays this
+            # submit, the stream's TTFA/queue-wait still count the wait from
+            # the arrival instant — no coordinated omission under overload
+            # (exactly the sweep points that decide the 500 ms SLO verdict)
+            sids.append(server.submit(src, ref,
+                                      arrival_t=arrival_times[next_i]))
             next_i += 1
             continue
         progressed = server.step()
@@ -132,7 +137,12 @@ def main():
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" \
         else jnp.float32
     pipe = build_random_pipeline(dtype)
-    pipe.first_chunk_tokens = 8  # server cadence is the 8-token window
+    # servers default to the pipeline's first_chunk_tokens (4): admission-time
+    # fast-first — the stream's first window is emitted by a single-row
+    # mini-tick at admission, before the row enters the shared pool
+    # (StreamServer first_window; set BENCH_FIRST_WINDOW=8 for the pure
+    # 8-cadence protocol of rounds <= 4)
+    pipe.first_chunk_tokens = int(os.environ.get("BENCH_FIRST_WINDOW", "4"))
     src, ref = load_bench_audio(pipe)
 
     slots = int(os.environ.get("BENCH_SLOTS", "8"))

@@ -143,7 +143,8 @@ class StreamServer:
     """
 
     def __init__(self, pipe, slots: int = 8, depth: int = 2, mesh=None,
-                 max_queue: int | None = None):
+                 max_queue: int | None = None,
+                 first_window: int | None = None):
         """``mesh`` (optional ``jax.sharding.Mesh``): shard the slot pool
         over the mesh's FIRST axis — scale-out serving, slots/chips rows per
         chip. Decode has no cross-row ops, so GSPMD partitions the tick
@@ -156,9 +157,25 @@ class StreamServer:
         slots); a ``submit`` past the cap raises :class:`QueueFull` before
         any device work — the backpressure surface for long-running servers
         (an unbounded queue grows host memory and admission latency without
-        bound under overload)."""
+        bound under overload).
+
+        ``first_window`` (default: the pipeline's ``first_chunk_tokens``,
+        reference-exact 8-token windows at ``STREAM_CHUNK``): size in AR
+        tokens of each stream's FIRST emitted window. Values below
+        STREAM_CHUNK activate admission-time fast-first: the admitting host
+        runs one single-row mini-tick (``first_window`` decode steps + that
+        window's vocode) and emits the stream's first audio BEFORE the row
+        enters the shared pool — time-to-first-audio stops paying for a full
+        8-token pool tick plus the in-flight pipeline depth. Later windows
+        (and later segments) keep the 8-token pool cadence; per-stream audio
+        matches ``synthesize_streaming`` with ``first_chunk_tokens ==
+        first_window`` (parity test tests/test_serving.py). Costs one extra
+        dispatch + host sync per admission."""
         self.pipe = pipe
         self.slots = int(slots)
+        fw = (pipe.first_chunk_tokens if first_window is None
+              else int(first_window))
+        self.first_window = max(1, min(int(fw), STREAM_CHUNK))
         self.max_queue = None if max_queue is None else int(max_queue)
         # ticks kept in flight (double buffering): the host processes tick N
         # while tick N+1 computes on device, hiding the dispatch/fetch round
@@ -234,15 +251,23 @@ class StreamServer:
         self._pool = pool
         self._carry = carry
         self._row_params = row_params
-        # pre-compile the EOS-remainder tail program for the tick geometry
-        # (W = STREAM_CHUNK + 1: one carried latent + 8 decoded) so no
-        # stream's final window pays a compile mid-serve
+        # pre-compile the EOS-remainder tail programs: the tick geometry
+        # (W = STREAM_CHUNK + 1: one carried latent + 8 decoded) and, when
+        # fast-first admission is active, the admission mini-tick geometry
+        # (B=1, W = first_window + 1) — so no stream's final window pays a
+        # compile mid-serve
         try:
             pipe._vocode_tail_fn(
                 pipe.hifigan_params,
                 jnp.zeros((self.slots, STREAM_CHUNK + 1, gcfg.model_dim),
                           jnp.float32),
                 0, 0, 1, win=STREAM_CHUNK)
+            if self.first_window < STREAM_CHUNK:
+                pipe._vocode_tail_fn(
+                    pipe.hifigan_params,
+                    jnp.zeros((1, self.first_window + 1, gcfg.model_dim),
+                              jnp.float32),
+                    0, 0, 1, win=self.first_window)
         except Exception:
             pass
 
@@ -273,7 +298,8 @@ class StreamServer:
     # ------------------------------------------------------------- submit
 
     def submit(self, src_wav: np.ndarray, ref_audio: np.ndarray,
-               on_chunk=None, sampler=None) -> int:
+               on_chunk=None, sampler=None,
+               arrival_t: float | None = None) -> int:
         """Register a stream (any time). The reference conditioning latent is
         computed immediately (one dispatch); decoding starts when a slot
         frees at the next ``step``.
@@ -287,6 +313,13 @@ class StreamServer:
         parameters (temperature/top_k/top_p/repetition_penalty/do_sample) —
         per-request generation config; rows decode under their own params in
         the shared pool tick. Default: the pipeline's sampler.
+
+        ``arrival_t`` (optional ``time.perf_counter()`` timestamp) backdates
+        the stream's arrival: latency/queue-wait/RTF stats are measured from
+        it instead of the ``submit`` call time. Pass the moment the request
+        actually arrived upstream (proxy receive time, scheduled arrival in a
+        load generator) so a busy host loop submitting late doesn't hide the
+        wait — the coordinated-omission correction.
 
         Raises :class:`QueueFull` (before any device work) when the server
         was built with ``max_queue`` and that many streams are waiting."""
@@ -302,7 +335,8 @@ class StreamServer:
             sid=sid,
             segments=list(self.pipe._segments(src_wav)),
             cond=self.pipe.get_gpt_cond_latents(ref_audio),
-            submit_t=time.perf_counter(),
+            submit_t=(time.perf_counter() if arrival_t is None
+                      else float(arrival_t)),
             audio_samples=int(src_wav.shape[-1]),
             on_chunk=on_chunk,
             sampler=sampler)
@@ -318,7 +352,11 @@ class StreamServer:
 
     # ---------------------------------------------------------- admission
 
-    def _start_segment(self, stream: _Stream, slot: int):
+    def _start_segment(self, stream: _Stream, slot: int) -> bool:
+        """Prefill the stream's current segment and insert it into ``slot``.
+        Returns True when the row entered the pool; False when the segment
+        completed during admission (fast-first window hit EOS/cap — the
+        caller advances to the next segment or retires the stream)."""
         pipe = self.pipe
         seg, t_real = stream.segments[stream.seg_idx]
         values = self._sampler_values(stream.sampler or pipe.sampler)
@@ -326,14 +364,52 @@ class StreamServer:
             pipe.contentvec_params, pipe.content_dvae_params, pipe.gpt_params,
             stream.cond, jnp.asarray(pipe._pcm16(seg)),
             jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values)
+        stream.max_new = pipe._max_new(pipe._host_n_codes(t_real))
+        carry = lat0
+        stream.n_total = 1
+        stream.first_tick = True
+        fw = self.first_window
+        if stream.seg_idx == 0 and fw < STREAM_CHUNK:
+            # admission-time fast-first: one single-row mini-tick emits the
+            # first fw-latent window now (prefill latent + fw-1 decoded);
+            # the row enters the pool carrying latent fw, so pool ticks
+            # continue the exact window alignment of synthesize_streaming
+            # with first_chunk_tokens == fw. Only segment 0 — later
+            # segments are not latency-critical (same rule as the
+            # single-stream driver, pipeline.py first_win handling).
+            stop = pipe.gpt_cfg.stop_audio_token
+            row, toks, all_lats, pre_fin, wavs = pipe._stream_chunk_fn(
+                pipe.gpt_params, pipe.hifigan_params, row, fw,
+                lat0[:, None, :], win=fw)
+            toks_np, pre_np, wavs_np = jax.device_get((toks, pre_fin, wavs))
+            if bool(pre_np[0, 0]):
+                # EOS at the prefill-sampled token: vocode just its latent
+                wav = pipe._vocode_tail_fn(pipe.hifigan_params, all_lats,
+                                           0, 0, 1, win=fw)
+                self._emit(stream, np.asarray(wav)
+                           [0, : pipe.gpt_cfg.code_stride_len])
+                return False
+            eos_j, n_lat_valid, full, rem = window_accounting(
+                toks_np[0], 1, stream.max_new, stop, carry_n=1, win=fw)
+            if full >= 1:
+                self._emit(stream, wavs_np[0])
+            if eos_j is not None:
+                if rem > 0:
+                    wav = pipe._vocode_tail_fn(
+                        pipe.hifigan_params, all_lats, 0, full * fw, rem,
+                        win=fw)
+                    self._emit(stream, np.asarray(wav)
+                               [0, : rem * pipe.gpt_cfg.code_stride_len])
+                return False
+            carry = all_lats[:, fw, :]           # latent fw: next window's carry
+            stream.n_total = 1 + fw
+            stream.first_tick = False            # prefill EOS already handled
         self._pool, self._carry, self._row_params = self._insert_fn(
-            self._pool, row, jnp.int32(slot), self._carry, lat0,
+            self._pool, row, jnp.int32(slot), self._carry, carry,
             self._row_params, values)
         self._slot_epoch[slot] += 1  # in-flight ticks for this slot are stale
         self._slot_custom[slot] = stream.sampler is not None
-        stream.n_total = 1
-        stream.first_tick = True
-        stream.max_new = pipe._max_new(pipe._host_n_codes(t_real))
+        return True
 
     def _admit(self):
         while self._queue and self._free:
@@ -346,7 +422,8 @@ class StreamServer:
             self._n_admissions += 1
             if stream.admit_t is None:
                 stream.admit_t = time.perf_counter()
-            self._start_segment(stream, slot)
+            if not self._start_segment(stream, slot):
+                self._advance(stream, slot)  # segment ended at admission
 
     def cancel(self, sid: int):
         """Cancel a stream. Queued: finalized (empty) at the next admit
@@ -490,9 +567,10 @@ class StreamServer:
 
     def _advance(self, s: _Stream, slot: int):
         s.seg_idx += 1
-        if s.seg_idx < len(s.segments) and s.sid not in self._cancelled:
-            self._start_segment(s, slot)
-            return
+        while s.seg_idx < len(s.segments) and s.sid not in self._cancelled:
+            if self._start_segment(s, slot):
+                return
+            s.seg_idx += 1  # segment completed during admission; keep going
         self._finalize(s, cancelled=s.sid in self._cancelled)
         del self._slot_map[slot]
         self._slot_custom[slot] = False

@@ -119,6 +119,38 @@ def test_server_matches_single_stream(pipe):
         assert stats["rtf"] and stats["rtf"] > 0
 
 
+def test_server_fast_first_matches_single_stream(pipe):
+    """first_window=4 (admission-time fast-first): per-stream audio equals
+    synthesize_streaming with first_chunk_tokens=4 — the admission mini-tick
+    emits the 4-latent first window, the pool continues the exact window
+    alignment, and multi-segment streams keep the 8-cadence on later
+    segments. Includes a short source whose segment can end inside the
+    admission window (EOS/cap within the first 4 tokens)."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(31)
+    srcs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (16000, 100000, 6000)]
+    refs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (24000, 24000, 30000)]
+    old_fct = pipe.first_chunk_tokens
+    try:
+        pipe.first_chunk_tokens = 4
+        singles = [pipe.synthesize_streaming(s, r, verbose=False)[0]
+                   for s, r in zip(srcs, refs)]
+        server = StreamServer(pipe, slots=2, first_window=4)
+        assert server.first_window == 4
+        sids = [server.submit(s, r) for s, r in zip(srcs, refs)]
+        server.drain()
+        for sid, want in zip(sids, singles):
+            got, stats = server.result(sid)
+            assert got.shape == want.shape, (got.shape, want.shape)
+            np.testing.assert_allclose(got, want, atol=2e-4)
+            assert stats["latency_s"] > 0
+    finally:
+        pipe.first_chunk_tokens = old_fct
+
+
 def test_server_multi_segment_stream(pipe):
     """A source longer than one 6 s segment advances segments inside its
     slot (re-prefill + insert) and still matches the single-stream driver."""
