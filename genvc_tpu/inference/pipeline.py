@@ -392,6 +392,37 @@ class GenVCPipeline:
                 top_p=sampler.top_p)
 
         @functools.partial(jax.jit, static_argnames=(
+            "max_new", "num_beams", "num_beam_groups", "diversity_penalty",
+            "length_penalty"))
+        def group_beam_fn(gpt_params, cond_latents, text_codes, text_len,
+                          prefix_fake_len, rng, max_new, num_beams,
+                          num_beam_groups, diversity_penalty=1.0,
+                          length_penalty=1.0):
+            """Group (diverse) beam search — the ``num_beam_groups > 1``
+            route of the reference's vendored generator
+            (stream_generator.py:308-317). Deterministic (HF rejects
+            do_sample with group mode)."""
+            nb = num_beams
+            cond_t = jnp.broadcast_to(
+                cond_latents, (nb,) + cond_latents.shape[1:])
+            codes_t = jnp.broadcast_to(text_codes,
+                                       (nb, text_codes.shape[1]))
+            lens_t = jnp.broadcast_to(text_len, (nb,))
+            prefix, valid = gpt_model.build_prefix_emb(
+                gpt_params, gcfg, cond_t, codes_t, lens_t)
+            state = engine.init_state(
+                gcfg, self._prefix_width, nb, gcfg.heads,
+                gcfg.model_dim // gcfg.heads, rng,
+                cache_dtype=self._cache_dtype,
+                gen_tokens=self._cache_gen_tokens())
+            return engine.decode_group_beam(
+                gpt_params, gcfg, state, prefix, valid, max_new, nb,
+                num_beam_groups, diversity_penalty=diversity_penalty,
+                length_penalty=length_penalty,
+                repetition_penalty=sampler.repetition_penalty,
+                prefix_fake_len=prefix_fake_len)
+
+        @functools.partial(jax.jit, static_argnames=(
             "max_new", "top_k", "penalty_alpha"))
         def contrastive_fn(gpt_params, cond_latents, text_codes, text_len,
                            rng, max_new, top_k, penalty_alpha):
@@ -484,6 +515,7 @@ class GenVCPipeline:
         self._cond_latent_multi_fn = cond_latent_multi_fn
         self._first_audio_fn = first_audio_fn
         self._beam_fn = beam_fn
+        self._group_beam_fn = group_beam_fn
         self._contrastive_fn = contrastive_fn
         self._stream_chunk_batch_fn = stream_chunk_batch_fn
         self._segment_prefill_fn = segment_prefill_fn
@@ -620,13 +652,17 @@ class GenVCPipeline:
                                length_penalty: float = 1.0,
                                penalty_alpha: float = 0.0,
                                contrastive_top_k: int = 4,
-                               beam_do_sample: bool = False):
+                               beam_do_sample: bool = False,
+                               num_beam_groups: int = 1,
+                               diversity_penalty: float = 1.0):
         """AR generation for one segment via the single-dispatch on-device
         while_loop; returns (list of generated tokens incl. the stop token,
         None). ``num_beams > 1`` switches to beam search with
         ``length_penalty`` (``beam_do_sample=True`` = HF beam_sample with
         the pipeline sampler's warpers — what the reference's
         ``inference(num_beams>1)`` reaches, do_sample defaulting True);
+        ``num_beam_groups > 1`` (with ``num_beams > 1``) to group/diverse
+        beam search with ``diversity_penalty`` (stream_generator.py:308-317);
         ``penalty_alpha > 0`` (with ``num_beams == 1``) switches to
         contrastive search over ``contrastive_top_k`` candidates
         (vendored HF generator modes, stream_generator.py:264-380). Kept for
@@ -638,6 +674,22 @@ class GenVCPipeline:
                 jnp.asarray([n_codes], jnp.int32)[0], self._next_rng(),
                 max_new=max_new, top_k=contrastive_top_k,
                 penalty_alpha=float(penalty_alpha))
+            n = int(n_tok)
+            return [int(t) for t in np.asarray(buf)[:n]], None
+        if num_beams > 1 and num_beam_groups > 1:
+            if beam_do_sample:
+                raise ValueError("group beam search is deterministic; "
+                                 "do_sample is not supported with "
+                                 "num_beam_groups > 1 (HF rejects it too)")
+            prefix_fake_len = self.gpt_cfg.n_cond_latents + n_codes + 3
+            buf, n_tok = self._group_beam_fn(
+                self.gpt_params, self._cond_latent, codes,
+                jnp.asarray([n_codes], jnp.int32)[0],
+                jnp.float32(prefix_fake_len), self._next_rng(),
+                max_new=max_new, num_beams=num_beams,
+                num_beam_groups=num_beam_groups,
+                diversity_penalty=float(diversity_penalty),
+                length_penalty=length_penalty)
             n = int(n_tok)
             return [int(t) for t in np.asarray(buf)[:n]], None
         if num_beams > 1:
@@ -665,7 +717,8 @@ class GenVCPipeline:
     def synthesize(self, src_wav: np.ndarray, ref_audio: np.ndarray,
                    num_beams: int = 1, length_penalty: float = 1.0,
                    penalty_alpha: float = 0.0, contrastive_top_k: int = 4,
-                   beam_do_sample: bool = False) -> np.ndarray:
+                   beam_do_sample: bool = False, num_beam_groups: int = 1,
+                   diversity_penalty: float = 1.0) -> np.ndarray:
         """Non-streaming VC (reference synthesize_utt, inference_utils.py:24-89).
 
         src_wav: (1, T) @16 kHz; ref_audio: (1, T) @24 kHz -> (T_out,) @24 kHz.
@@ -689,7 +742,9 @@ class GenVCPipeline:
                     length_penalty=length_penalty,
                     penalty_alpha=penalty_alpha,
                     contrastive_top_k=contrastive_top_k,
-                    beam_do_sample=beam_do_sample)
+                    beam_do_sample=beam_do_sample,
+                    num_beam_groups=num_beam_groups,
+                    diversity_penalty=diversity_penalty)
                 toks_np = np.asarray(toks_list, np.int32)
             else:
                 state, toks, n_gen = self._decode_all_fn(self.gpt_params,

@@ -43,6 +43,12 @@ def main():
                              "warpers — the reference inference() default "
                              "do_sample=True path)")
     parser.add_argument("--length_penalty", type=float, default=1.0)
+    parser.add_argument("--num_beam_groups", type=int, default=1,
+                        help="with --num_beams>1: group/diverse beam search "
+                             "(num_beams split into groups penalized by "
+                             "--diversity_penalty for repeating earlier "
+                             "groups' step tokens); 1 = plain beam search")
+    parser.add_argument("--diversity_penalty", type=float, default=1.0)
     parser.add_argument("--penalty_alpha", type=float, default=0.0,
                         help="contrastive search for non-streaming synthesis "
                              "(vendored HF generator mode; candidates from "
@@ -182,7 +188,9 @@ def main():
                               length_penalty=args.length_penalty,
                               penalty_alpha=args.penalty_alpha,
                               contrastive_top_k=args.contrastive_top_k,
-                              beam_do_sample=args.beam_do_sample)
+                              beam_do_sample=args.beam_do_sample,
+                              num_beam_groups=args.num_beam_groups,
+                              diversity_penalty=args.diversity_penalty)
 
     if wav.shape[-1] == 0:
         print("decode produced no audio tokens (model generated only the "

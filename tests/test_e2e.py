@@ -455,6 +455,23 @@ def test_synthesize_all_stop_returns_empty(pipe, monkeypatch):
     assert wav.shape == (0,) and wav.dtype == np.float32
 
 
+def test_synthesize_group_beam(pipe):
+    """Group/diverse beam search through the full synthesize path
+    (num_beam_groups > 1 route of the vendored generator,
+    stream_generator.py:308-317): produces audio, and do_sample is rejected
+    like HF rejects it for group mode."""
+    rng = np.random.default_rng(7)
+    src = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    wav = pipe.synthesize(src, ref, num_beams=4, num_beam_groups=2,
+                          diversity_penalty=1.0)
+    assert wav.ndim == 1 and wav.shape[0] % 1024 == 0
+    assert np.all(np.isfinite(wav))
+    with pytest.raises(ValueError, match="do_sample"):
+        pipe.synthesize(src, ref, num_beams=4, num_beam_groups=2,
+                        beam_do_sample=True)
+
+
 def test_vocode_tail_matches_exact_slice(pipe):
     """The single-program EOS-remainder vocode (traced row/start/rem +
     masking) is sample-exact vs the exact-width slice+vocode oracle,
