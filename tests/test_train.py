@@ -38,6 +38,44 @@ def test_multistep_schedule():
     assert float(sched(250)) == pytest.approx(2.5e-5)
 
 
+@pytest.mark.fast
+@pytest.mark.parametrize("gnorm_regime", ["clipped", "unclipped"])
+def test_adamw_clip_fused_matches_chain(gnorm_regime):
+    """adamw_clip_fused (single-traversal clip-folded update) is numerically
+    equivalent to the chained optax recipe across steps, in both the
+    clip-active and clip-inactive regimes, including the weight-decay mask
+    and the MultiStepLR schedule."""
+    import optax
+
+    cfg = gpt_model.GPTConfig(layers=2, model_dim=32, heads=4)
+    params_a = gpt_model.init_params(jax.random.key(0), cfg)
+    params_b = jax.tree.map(jnp.array, params_a)
+    sched = optim.multistep_schedule(1e-4, [2], 0.5)
+    tx_a = optim.adamw_grouped(sched, params=params_a)
+    tx_b = optim.adamw_clip_fused(sched, params=params_b)
+    st_a, st_b = tx_a.init(params_a), tx_b.init(params_b)
+
+    scale = 1e-3 if gnorm_regime == "unclipped" else 10.0
+    rng = np.random.default_rng(0)
+    for step in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape).astype(np.float32) * scale),
+            params_a)
+        gn = float(optax.global_norm(grads))
+        if gnorm_regime == "clipped":
+            assert gn > 1.0
+        else:
+            assert gn < 1.0
+        up_a, st_a = tx_a.update(grads, st_a, params_a)
+        up_b, st_b = tx_b.update(grads, st_b, params_b)
+        params_a = optax.apply_updates(params_a, up_a)
+        params_b = optax.apply_updates(params_b, up_b)
+        for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7)
+
+
 def test_vae_train_step_runs_and_improves():
     cfg = VAEConfig(num_channels=13, num_tokens=32, codebook_dim=16,
                     hidden_dim=8, num_resnet_blocks=1, num_layers=2,
