@@ -479,8 +479,13 @@ def init_msstftd(key, filters=32, specs=None):
     by structural dryruns to shrink the compile (e.g. one tiny FFT)."""
     specs = MSSTFTD_SPECS if specs is None else specs
     keys = jax.random.split(key, len(specs))
-    return {"discs": [init_discriminator_stft(k, filters, s["n_fft"],
-                                              s["hop"], s["win"])
+    # init derives the conv stack from the SAME spec fields the forward
+    # sizes its pad/stride/dilation lists from — a spec overriding dilations
+    # or kernel gets a matching parameter stack, not a silently truncated zip
+    return {"discs": [init_discriminator_stft(
+                          k, filters, s["n_fft"], s["hop"], s["win"],
+                          dilations=s.get("dilations", (1, 2, 4)),
+                          kernel=s.get("kernel", (3, 9)))
                       for k, s in zip(keys, specs)]}
 
 
