@@ -109,6 +109,25 @@ def main():
 
     src, ref = load_bench_audio(pipe)
 
+    # Tunnel RTT distribution, sampled around the latency runs: each
+    # first-chunk latency includes exactly one dispatch+fetch round trip, so
+    # a latency max exceeding the median by ~the RTT spread is attributable
+    # to the tunnel, not the pipeline (VERDICT r3/r4 latency-tail item; on
+    # directly-attached TPU this term vanishes).
+    _one = jax.jit(lambda x: x + 1.0)
+    _z = jnp.float32(0)
+    float(_one(_z))
+    rtt_samples = []
+    for _ in range(40):
+        t0 = time.perf_counter()
+        float(_one(_z))
+        rtt_samples.append((time.perf_counter() - t0) * 1000)
+    rtt_stats = {
+        "median": round(float(np.median(rtt_samples)), 1),
+        "p95": round(float(np.percentile(rtt_samples, 95)), 1),
+        "max": round(float(np.max(rtt_samples)), 1),
+    }
+
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -274,6 +293,39 @@ def main():
                     print(f"int8+fp8 batched bench (B={b}) skipped: {e}",
                           file=sys.stderr)
             int8_section["int8_fp8_batch_scaling"] = combo or None
+            # Poisson sweep on the RECOMMENDED serving config (int8 weights
+            # + fp8 KV cache), VERDICT r4 item 7: its own saturated-drain
+            # capacity estimate, then open-loop arrivals at 0.75/1.0/1.5x
+            if os.environ.get("BENCH_POISSON", "1") != "0":
+                try:
+                    from bench_serving import poisson_sweep
+                    from genvc_tpu.serving.server import StreamServer
+
+                    s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
+                    s_streams = int(os.environ.get("BENCH_SERVE_STREAMS",
+                                                   "32"))
+                    server = StreamServer(pipe_c, slots=s_slots)
+                    server.submit(src, ref)
+                    server.drain()  # compile
+                    server = StreamServer(pipe_c, slots=s_slots)
+                    t0 = time.perf_counter()
+                    for _ in range(s_streams):
+                        server.submit(src, ref)
+                    server.drain()
+                    cap_q = s_streams / (time.perf_counter() - t0)
+                    rows_q, max_lam_q = poisson_sweep(
+                        pipe_c, src, ref, s_slots, cap_q,
+                        factors=(0.75, 1.0, 1.5),
+                        n_arrivals=int(os.environ.get("BENCH_POISSON_N",
+                                                      "24")))
+                    int8_section["int8_fp8_serving"] = {
+                        "capacity_streams_per_s": round(cap_q, 3),
+                        "poisson": rows_q,
+                        "max_sustainable_lambda_ttfa500ms": max_lam_q,
+                    }
+                except Exception as e:
+                    print(f"int8+fp8 poisson bench skipped: {e}",
+                          file=sys.stderr)
             del pipe_c
         except Exception as e:  # never let the extra kill the headline
             print(f"int8 bench skipped: {e}", file=sys.stderr)
@@ -326,6 +378,7 @@ def main():
         "int8": int8_section,
         "fp8_kv": fp8kv_section,
         "warmup_s": round(warmup_s, 1),
+        "tunnel_rtt_ms": rtt_stats,
         # sub-phase breakdown of the worst-latency run (tail diagnostics):
         # host_prep -> first_dispatch -> first_fetch, all ms since call start
         "worst_run_timing": {k: round(v, 1) for k, v in
@@ -367,6 +420,10 @@ def main():
         if "16" in combo:
             int8_head["int8_fp8_b16_rtf_per_stream"] = \
                 combo["16"]["rtf_per_stream"]
+        srv_q = int8_section.get("int8_fp8_serving") or {}
+        if srv_q:
+            int8_head["int8_fp8_max_lambda_ttfa500ms"] = srv_q.get(
+                "max_sustainable_lambda_ttfa500ms")
     b16 = (batch_scaling or {}).get("16")
     headline = {
         "metric": "streaming_rtf",
@@ -382,6 +439,7 @@ def main():
         "max_realtime_streams": max_rt_streams,
         "serving": serving_head,
         "int8": int8_head,
+        "tunnel_rtt_ms": rtt_stats,
         "warmup_s": result["warmup_s"],
         "dtype": result["dtype"],
         "device": result["device"],

@@ -74,8 +74,12 @@ def main():
     frozen = gpt_stage.make_frozen(cfg, frozen_tree, np.ones(80, np.float32))
     params = gpt_model.init_params(k4, gcfg)
 
-    tx = optim.adamw_grouped(optim.multistep_schedule(1e-4, [10000], 0.5),
-                             params=params)
+    # TRAIN_OPT=fused: single-traversal clip-folded AdamW (optim.
+    # adamw_clip_fused, numerics-identical to the chain; VERDICT r4 item 6)
+    opt_impl = os.environ.get("TRAIN_OPT", "chain")
+    make_tx = (optim.adamw_clip_fused if opt_impl == "fused"
+               else optim.adamw_grouped)
+    tx = make_tx(optim.multistep_schedule(1e-4, [10000], 0.5), params=params)
     state = gpt_stage.GPTTrainState(params, tx.init(params), jnp.int32(0))
     train_step, _ = gpt_stage.make_train_step(
         gcfg, tx, compute_dtype=jnp.bfloat16 if use_bf16 else None,
@@ -271,15 +275,46 @@ def main():
             "forward_backward_ms": sub(timeit(grad_s, feat_cycle)),
         }
         (_, _), grads = grad_j(state.params, feats)
-        p, o = opt_j(grads, state.opt_state, state.params)
-        jax.device_get(jax.tree.leaves(p)[0])
-        t0 = time.perf_counter()
-        for _ in range(10):
-            p, o = opt_j(grads, o, p)
-        jax.device_get(jax.tree.leaves(p)[0])
-        breakdown["optimizer_ms"] = round(
-            (time.perf_counter() - t0) / 10 * 1000, 1)
-        del grads, feats, p, o
+
+        # Optimizer timing: a fused-in scalar + float() per rep + RTT
+        # subtraction, like every other phase. Round 4's async-dispatch loop
+        # reported 25.9 ms ≈ "1.6x SoL"; that was ~8 ms of per-dispatch
+        # tunnel overhead (ROUND4_NOTES hazard 2) — the hard-synced number
+        # is ~17.8 ms vs a measured 16.6 ms flat-buffer speed-of-light
+        # control (12.1 GB at 819 GB/s), i.e. 1.07x SoL.
+        def time_opt(tx_, o0, p0):
+            def u(g, o_, p_):
+                up, o2 = tx_.update(g, o_, p_)
+                p2 = optax.apply_updates(p_, up)
+                return p2, o2, jnp.sum(p2["final_norm"]["bias"][:8])
+            uj = jax.jit(u, donate_argnums=(1, 2))
+            p_, o_, s = uj(grads, o0, p0)
+            float(s)
+            ts = []
+            for _ in range(8):
+                t0 = time.perf_counter()
+                p_, o_, s = uj(grads, o_, p_)
+                float(s)
+                ts.append((time.perf_counter() - t0) * 1000)
+            del p_, o_
+            return sub(float(np.median(ts)))
+
+        # copy params BEFORE the first timed run donates state.params
+        p_alt = jax.tree.map(jnp.array, state.params)
+        breakdown["optimizer_ms"] = time_opt(tx, state.opt_state,
+                                             state.params)
+        breakdown["optimizer_impl"] = opt_impl
+        # same-process A/B of the OTHER update implementation (chained
+        # clip+adamw vs the single-traversal clip-folded fused transform):
+        # fresh moments + params, identical grads — Adam's cost is
+        # value-independent
+        alt_impl = "chain" if opt_impl == "fused" else "fused"
+        alt_tx = (optim.adamw_grouped if alt_impl == "chain"
+                  else optim.adamw_clip_fused)(
+            optim.multistep_schedule(1e-4, [10000], 0.5), params=p_alt)
+        breakdown[f"optimizer_{alt_impl}_ms"] = time_opt(
+            alt_tx, alt_tx.init(p_alt), p_alt)
+        del grads, feats, p_alt
 
     tokens_per_step = batch * text_len * (1 + 1.875)  # text + audio tokens
     # analytic transformer FLOPs (XLA cost_analysis misses Pallas custom
@@ -300,6 +335,7 @@ def main():
         "layers": layers,
         "dtype": "bf16" if use_bf16 else "f32",
         "attention": attn,
+        "optimizer": opt_impl,
         "loss": (round(float(metrics["loss"]), 3)
                  if metrics is not None else None),
         "tokens_per_sec": (round(tokens_per_step / (step_ms / 1000), 0)

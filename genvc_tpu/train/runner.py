@@ -235,9 +235,17 @@ def run_gpt_training(cfg: GenVCConfig, max_steps: int | None = None,
         [m * steps_per_epoch for m in milestones_epochs], gamma)
     op = cfg.optimizer_params or {"betas": [0.9, 0.96], "eps": 1e-8,
                                   "weight_decay": 1e-6}
-    tx = optim.adamw_grouped(sched, betas=tuple(op["betas"]), eps=op["eps"],
-                             weight_decay=op["weight_decay"],
-                             max_grad_norm=cfg.max_grad_norm, params=params)
+    # GENVC_FUSED_OPT=1: single-traversal clip-folded AdamW (identical
+    # numerics, tests/test_train.py; skips the chained clip's materialized
+    # scaled-grad tree). Opt-in because its opt_state layout differs from
+    # the optax chain's — resuming an existing checkpoint must keep the
+    # optimizer it was saved with.
+    make_tx = (optim.adamw_clip_fused
+               if os.environ.get("GENVC_FUSED_OPT", "0") == "1"
+               else optim.adamw_grouped)
+    tx = make_tx(sched, betas=tuple(op["betas"]), eps=op["eps"],
+                 weight_decay=op["weight_decay"],
+                 max_grad_norm=cfg.max_grad_norm, params=params)
     # place params on the mesh: replicated for pure DP, megatron-sharded over
     # 'model' for TP; optimizer moments inherit the placement via zeros_like
     specs = mesh_lib.gpt_param_specs(params)
