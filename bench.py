@@ -193,10 +193,14 @@ def main():
 
         s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
         s_streams = int(os.environ.get("BENCH_SERVE_STREAMS", "32"))
-        server = StreamServer(pipe, slots=s_slots)
+        # saturated drain = THROUGHPUT protocol: pure 8-token pool cadence
+        # (first_window=8, comparable with rounds <= 4). The Poisson sweep
+        # below keeps fast-first admission (first_window=4 default) — that
+        # is the LATENCY protocol, where per-admission dispatches buy TTFA.
+        server = StreamServer(pipe, slots=s_slots, first_window=8)
         server.submit(src, ref)
         server.drain()  # compile
-        server = StreamServer(pipe, slots=s_slots)
+        server = StreamServer(pipe, slots=s_slots, first_window=8)
         t0 = time.perf_counter()
         sids = [server.submit(src, ref) for _ in range(s_streams)]
         server.drain()
@@ -304,10 +308,12 @@ def main():
                     s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
                     s_streams = int(os.environ.get("BENCH_SERVE_STREAMS",
                                                    "32"))
-                    server = StreamServer(pipe_c, slots=s_slots)
+                    server = StreamServer(pipe_c, slots=s_slots,
+                                          first_window=8)
                     server.submit(src, ref)
                     server.drain()  # compile
-                    server = StreamServer(pipe_c, slots=s_slots)
+                    server = StreamServer(pipe_c, slots=s_slots,
+                                          first_window=8)
                     t0 = time.perf_counter()
                     for _ in range(s_streams):
                         server.submit(src, ref)

@@ -35,6 +35,7 @@ a custom config — all-default pools tick through the cheaper scalar trace.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from collections import deque
 
@@ -45,7 +46,8 @@ import numpy as np
 from genvc_tpu.decode import engine
 from genvc_tpu.inference.pipeline import (CROSSFADE, STREAM_CHUNK, TEXT_WIDTH,
                                           _handle_chunk, window_accounting)
-from genvc_tpu.models import gpt as gpt_model
+from genvc_tpu.models import gpt as gpt_model, hifigan
+from genvc_tpu.ops.conv import linear_interp_x4
 
 
 class QueueFull(RuntimeError):
@@ -108,6 +110,35 @@ def _serving_jits(pipe):
         return engine.prefill(gpt_params, gcfg, state, prefix, valid,
                               sampler, row_params=row_params)
 
+    @functools.partial(jax.jit, static_argnames=("fw",))
+    def row_prefill_first(cv_params, cd_params, gpt_params, hifi_params,
+                          cond, seg16k, sample_valid, rng, row_params, fw):
+        """Fast-first admission in ONE dispatch: segment prefill + ``fw``
+        decode steps + the first ``fw``-latent window's vocode. Halves the
+        per-admission dispatch count vs prefill-then-mini-tick (each
+        dispatch costs a host round trip on remote-tunnel setups)."""
+        codes, n_codes = pipe._content_fn(cv_params, cd_params, seg16k,
+                                          sample_valid)
+        codes = jnp.pad(codes, ((0, 0), (0, TEXT_WIDTH - codes.shape[1])))
+        prefix, valid = gpt_model.build_prefix_emb(
+            gpt_params, gcfg, cond, codes, n_codes.astype(jnp.int32))
+        state = engine.init_state(
+            gcfg, pipe._prefix_width, 1, gcfg.heads,
+            gcfg.model_dim // gcfg.heads, rng, cache_dtype=cache_dtype,
+            gen_tokens=pipe._cache_gen_tokens(), per_row=True)
+        state, tok0, lat0 = engine.prefill(gpt_params, gcfg, state, prefix,
+                                           valid, sampler,
+                                           row_params=row_params)
+        state, toks, lats, pre_fin = engine.decode_chunk(
+            gpt_params, gcfg, state, sampler, chunk=fw,
+            row_params=row_params)
+        all_lats = jnp.concatenate([lat0[:, None, :], lats], axis=1)
+        x = jnp.swapaxes(all_lats[:, :fw], 1, 2)
+        x = linear_interp_x4(x, pipe.hifigan_scale_factor)
+        wav = hifigan.generator_forward(hifi_params, x,
+                                        pipe.config.vocoder_config)[:, 0]
+        return state, toks, all_lats, pre_fin, wav
+
     @jax.jit
     def insert_fn(pool, row, slot, carry, lat0, pool_params, row_values):
         """Admit a prefilled row into ``slot``: cache insertion, its prefill
@@ -125,7 +156,8 @@ def _serving_jits(pipe):
         }
         return new_pool, carry, new_params
 
-    pipe._serving_jit_cache = (row_prefill, insert_fn)
+    pipe._serving_jit_cache = (row_prefill, insert_fn,
+                               row_prefill_first)
     return pipe._serving_jit_cache
 
 
@@ -190,6 +222,9 @@ class StreamServer:
         self._results: dict[int, tuple[np.ndarray, dict]] = {}
         self._next_sid = 0
         self._inflight: deque = deque()   # (tick result, epoch snapshot)
+        # fast-first admission mini-tick results awaiting host processing,
+        # keyed by slot (see _start_segment/_process_admission)
+        self._pending_adm: dict[int, tuple] = {}
         self._slot_epoch = [0] * self.slots
         self._cancelled: set[int] = set()
         # slots whose stream carries a custom SamplerConfig — when none do,
@@ -283,6 +318,10 @@ class StreamServer:
     def _insert_fn(self):
         return _serving_jits(self.pipe)[1]
 
+    @property
+    def _row_prefill_first(self):
+        return _serving_jits(self.pipe)[2]
+
     @staticmethod
     def _sampler_values(sampler) -> dict:
         """A SamplerConfig as the (1,) device arrays row_params expects."""
@@ -352,64 +391,106 @@ class StreamServer:
 
     # ---------------------------------------------------------- admission
 
-    def _start_segment(self, stream: _Stream, slot: int) -> bool:
+    def _start_segment(self, stream: _Stream, slot: int):
         """Prefill the stream's current segment and insert it into ``slot``.
-        Returns True when the row entered the pool; False when the segment
-        completed during admission (fast-first window hit EOS/cap — the
-        caller advances to the next segment or retires the stream)."""
+
+        With fast-first active (``first_window < STREAM_CHUNK``, segment 0
+        only — later segments are not latency-critical, same rule as the
+        single-stream driver), an additional single-row mini-tick is
+        dispatched that decodes ``first_window`` tokens and vocodes the
+        first window; the row enters the pool carrying latent ``fw`` so pool
+        ticks continue the exact window alignment of ``synthesize_streaming``
+        with ``first_chunk_tokens == fw``. The mini-tick result is NOT
+        fetched here — admission stays fully asynchronous (a blocking fetch
+        per admission would serialize the host and cost drain throughput);
+        it is recorded in ``_pending_adm`` and processed by ``step()``
+        opportunistically (``is_ready``) or forcibly before consuming any
+        pool-tick data for the slot. A segment that ends inside the
+        admission window is detected there and the slot advanced then."""
         pipe = self.pipe
         seg, t_real = stream.segments[stream.seg_idx]
         values = self._sampler_values(stream.sampler or pipe.sampler)
-        row, tok0, lat0 = self._row_prefill(
-            pipe.contentvec_params, pipe.content_dvae_params, pipe.gpt_params,
-            stream.cond, jnp.asarray(pipe._pcm16(seg)),
-            jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values)
         stream.max_new = pipe._max_new(pipe._host_n_codes(t_real))
-        carry = lat0
-        stream.n_total = 1
-        stream.first_tick = True
         fw = self.first_window
+        pending = None
         if stream.seg_idx == 0 and fw < STREAM_CHUNK:
-            # admission-time fast-first: one single-row mini-tick emits the
-            # first fw-latent window now (prefill latent + fw-1 decoded);
-            # the row enters the pool carrying latent fw, so pool ticks
-            # continue the exact window alignment of synthesize_streaming
-            # with first_chunk_tokens == fw. Only segment 0 — later
-            # segments are not latency-critical (same rule as the
-            # single-stream driver, pipeline.py first_win handling).
-            stop = pipe.gpt_cfg.stop_audio_token
-            row, toks, all_lats, pre_fin, wavs = pipe._stream_chunk_fn(
-                pipe.gpt_params, pipe.hifigan_params, row, fw,
-                lat0[:, None, :], win=fw)
-            toks_np, pre_np, wavs_np = jax.device_get((toks, pre_fin, wavs))
-            if bool(pre_np[0, 0]):
-                # EOS at the prefill-sampled token: vocode just its latent
-                wav = pipe._vocode_tail_fn(pipe.hifigan_params, all_lats,
-                                           0, 0, 1, win=fw)
-                self._emit(stream, np.asarray(wav)
-                           [0, : pipe.gpt_cfg.code_stride_len])
-                return False
-            eos_j, n_lat_valid, full, rem = window_accounting(
-                toks_np[0], 1, stream.max_new, stop, carry_n=1, win=fw)
-            if full >= 1:
-                self._emit(stream, wavs_np[0])
-            if eos_j is not None:
-                if rem > 0:
-                    wav = pipe._vocode_tail_fn(
-                        pipe.hifigan_params, all_lats, 0, full * fw, rem,
-                        win=fw)
-                    self._emit(stream, np.asarray(wav)
-                               [0, : rem * pipe.gpt_cfg.code_stride_len])
-                return False
+            # ONE dispatch: prefill + fw decode steps + first-window vocode
+            row, toks, all_lats, pre_fin, wavs = self._row_prefill_first(
+                pipe.contentvec_params, pipe.content_dvae_params,
+                pipe.gpt_params, pipe.hifigan_params, stream.cond,
+                jnp.asarray(pipe._pcm16(seg)),
+                jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values,
+                fw=fw)
+            try:
+                toks.copy_to_host_async()
+                pre_fin.copy_to_host_async()
+                wavs.copy_to_host_async()
+            except Exception:
+                pass
+            pending = (toks, all_lats, pre_fin, wavs)
             carry = all_lats[:, fw, :]           # latent fw: next window's carry
             stream.n_total = 1 + fw
-            stream.first_tick = False            # prefill EOS already handled
+            stream.first_tick = False            # prefill EOS handled async
+        else:
+            row, tok0, lat0 = self._row_prefill(
+                pipe.contentvec_params, pipe.content_dvae_params,
+                pipe.gpt_params, stream.cond, jnp.asarray(pipe._pcm16(seg)),
+                jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values)
+            carry = lat0
+            stream.n_total = 1
+            stream.first_tick = True
         self._pool, self._carry, self._row_params = self._insert_fn(
             self._pool, row, jnp.int32(slot), self._carry, carry,
             self._row_params, values)
         self._slot_epoch[slot] += 1  # in-flight ticks for this slot are stale
         self._slot_custom[slot] = stream.sampler is not None
-        return True
+        if pending is not None:
+            self._pending_adm[slot] = pending
+
+    def _process_admission(self, slot: int, force: bool):
+        """Consume a pending fast-first admission result for ``slot``: emit
+        the first window (and the EOS tail when the segment ended inside it,
+        advancing the slot). ``force=False`` returns without blocking when
+        the device result is not on host yet; ``force=True`` fetches — only
+        used once a LATER-dispatched pool tick has completed, so the fetch
+        is a local copy, never a device wait."""
+        rec = self._pending_adm.get(slot)
+        if rec is None:
+            return
+        toks, all_lats, pre_fin, wavs = rec
+        if not force:
+            try:
+                if not (toks.is_ready() and pre_fin.is_ready()
+                        and wavs.is_ready()):
+                    return
+            except Exception:
+                return  # no readiness API: the forced path will handle it
+        del self._pending_adm[slot]
+        s = self._slot_map[slot]
+        if s.sid in self._cancelled:
+            return  # the tick loop's cancel branch retires the stream
+        pipe = self.pipe
+        fw = self.first_window
+        stop = pipe.gpt_cfg.stop_audio_token
+        toks_np, pre_np, wavs_np = jax.device_get((toks, pre_fin, wavs))
+        if bool(pre_np[0, 0]):
+            # EOS at the prefill-sampled token: vocode just its latent
+            wav = pipe._vocode_tail_fn(pipe.hifigan_params, all_lats,
+                                       0, 0, 1, win=fw)
+            self._emit(s, np.asarray(wav)[0, : pipe.gpt_cfg.code_stride_len])
+            self._advance(s, slot)
+            return
+        eos_j, n_lat_valid, full, rem = window_accounting(
+            toks_np[0], 1, s.max_new, stop, carry_n=1, win=fw)
+        if full >= 1:
+            self._emit(s, wavs_np[0])
+        if eos_j is not None:
+            if rem > 0:
+                wav = pipe._vocode_tail_fn(
+                    pipe.hifigan_params, all_lats, 0, full * fw, rem, win=fw)
+                self._emit(s, np.asarray(wav)
+                           [0, : rem * pipe.gpt_cfg.code_stride_len])
+            self._advance(s, slot)
 
     def _admit(self):
         while self._queue and self._free:
@@ -422,8 +503,7 @@ class StreamServer:
             self._n_admissions += 1
             if stream.admit_t is None:
                 stream.admit_t = time.perf_counter()
-            if not self._start_segment(stream, slot):
-                self._advance(stream, slot)  # segment ended at admission
+            self._start_segment(stream, slot)
 
     def cancel(self, sid: int):
         """Cancel a stream. Queued: finalized (empty) at the next admit
@@ -463,6 +543,10 @@ class StreamServer:
         flight, and process the oldest tick's results (one device fetch).
         Returns False when the pool is idle and the queue empty."""
         self._admit()
+        # emit any fast-first admission window whose result already reached
+        # the host (non-blocking; the forced path below covers the rest)
+        for slot in list(self._pending_adm):
+            self._process_admission(slot, force=False)
         if not self._slot_map and not self._inflight:
             return False
         while self._slot_map and len(self._inflight) < self.depth:
@@ -477,10 +561,21 @@ class StreamServer:
         k = STREAM_CHUNK
         stop = pipe.gpt_cfg.stop_audio_token
         for slot in sorted(self._slot_map):
+            if slot in self._pending_adm:
+                # the admission window must be emitted before (and its EOS
+                # handling decided ahead of) any tick data for this slot;
+                # the tick we just fetched was dispatched after the
+                # admission, so the forced fetch is already on host
+                self._process_admission(slot, force=True)
+                if slot not in self._slot_map:
+                    continue  # segment ended at admission; stream retired
+                # a segment advance re-inserted the slot: the epoch check
+                # below skips this tick's (stale) row data for it
             s = self._slot_map[slot]
             if s.sid in self._cancelled:
                 self._finalize(s, cancelled=True)
                 del self._slot_map[slot]
+                self._pending_adm.pop(slot, None)
                 self._slot_custom[slot] = False
                 self._free.append(slot)
                 self._free.sort()
@@ -567,12 +662,14 @@ class StreamServer:
 
     def _advance(self, s: _Stream, slot: int):
         s.seg_idx += 1
-        while s.seg_idx < len(s.segments) and s.sid not in self._cancelled:
-            if self._start_segment(s, slot):
-                return
-            s.seg_idx += 1  # segment completed during admission; keep going
+        if s.seg_idx < len(s.segments) and s.sid not in self._cancelled:
+            # later segments always enter the pool (fast-first is segment-0
+            # only), so one _start_segment suffices
+            self._start_segment(s, slot)
+            return
         self._finalize(s, cancelled=s.sid in self._cancelled)
         del self._slot_map[slot]
+        self._pending_adm.pop(slot, None)
         self._slot_custom[slot] = False
         self._free.append(slot)
         self._free.sort()
