@@ -116,10 +116,14 @@ def _attend_cached(bp, h, state_k, state_v, layer_idx, cur_index, key_valid,
     #   branch: the per-row cache write is a scatter, and scatter-output ->
     #   full-stacked-cache pallas operand defeats XLA's in-place aliasing —
     #   measured 6.4x SLOWER pool ticks (103.6 -> 662.6 ms at a full
-    #   16-slot pool, interleaved A/B tools/ab_serving_drain.py; this was
-    #   round 4's serving drain regression, VERDICT r4 item 2). Lockstep
-    #   decode (scalar cur_index, dynamic_update_slice writes) is where the
-    #   kernel wins and stays on.
+    #   16-slot pool, interleaved A/B tools/ab_serving_drain.py; round 4's
+    #   serving drain regression, VERDICT r4 item 2). An in-kernel-write
+    #   variant (ops.decode_attention_update_layer: masked row replacement
+    #   + aliased slab flush, token-exact) measured 122.5 vs 108.5 ms/tick
+    #   bf16 and lost aliasing through the f8 bitcasts entirely (720 ms) —
+    #   kept as a tested, documented negative result (ROUND5_NOTES); the
+    #   XLA per-row path with int8 weights + fp8 cache is the fastest pool
+    #   configuration measured (96.2 ms/tick).
     fused = (fused and state_k.dtype != jnp.float32
              and cur_index.ndim == 0
              and hd % 128 == 0 and state_k.shape[3] % 8 == 0)

@@ -201,6 +201,174 @@ def decode_attention_layer(q, cache_k, cache_v, bias, layer_idx, *,
     return out[:, :, 0, :]
 
 
+UPDATE_SLAB = 32  # cache write-back granularity (int8 sublane tile)
+
+
+def _decode_attn_update_kernel(lidx_ref, pos_ref, q_ref, kn_ref, vn_ref,
+                               k_ref, v_ref, bias_ref, out_ref, ko_ref,
+                               vo_ref, *, scale, f8_bits):
+    """Write the new token's K/V into this (row, head)'s cache block at the
+    row's position, then attend over the updated block.
+
+    HBM traffic stays read-dominated: the write lands in the INPUT block's
+    VMEM copy (so the attention sees it) and only the UPDATE_SLAB-row slab
+    containing the position flushes back through the aliased outputs —
+    writing the full (T, hd) block back would double cache bandwidth and
+    erase the kernel's reason to exist."""
+    i = pl.program_id(0)
+    p = pos_ref[i]
+    t = k_ref.shape[3]
+
+    if f8_bits:
+        # native f32->f8 convert + bitcast: ONE (1, hd) row per program —
+        # Mosaic's slow f8 convert path only matters at full-block width
+        # (the read side, which stays on the integer bitfield upcast)
+        kn = pltpu.bitcast(kn_ref[0, 0].astype(jnp.float8_e4m3fn), jnp.int8)
+        vn = pltpu.bitcast(vn_ref[0, 0].astype(jnp.float8_e4m3fn), jnp.int8)
+        k_store = pltpu.bitcast(k_ref[0, 0, 0], jnp.int8)   # (T, hd) bits
+        v_store = pltpu.bitcast(v_ref[0, 0, 0], jnp.int8)
+    else:
+        kn = kn_ref[0, 0].astype(k_ref.dtype)
+        vn = vn_ref[0, 0].astype(v_ref.dtype)
+        k_store = k_ref[0, 0, 0]                            # (T, hd)
+        v_store = v_ref[0, 0, 0]
+
+    # masked row replacement in REGISTERS — Mosaic cannot prove alignment
+    # of a dynamic single-row vector store, and a select over the block
+    # (which is resident for the attention read anyway) is free
+    sel = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) == p
+    k_store = jnp.where(sel, kn, k_store)
+    v_store = jnp.where(sel, vn, v_store)
+
+    if f8_bits:
+        k = _f8e4m3_bits_to_bf16(k_store)            # (T, hd)
+        v = _f8e4m3_bits_to_bf16(v_store)
+    else:
+        k = k_store.astype(jnp.bfloat16)
+        v = v_store.astype(jnp.bfloat16)
+
+    q = q_ref[0, 0].astype(jnp.bfloat16)             # (1, hd)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias_ref[0]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    pexp = jnp.exp(logits - m)
+    probs = (pexp / jnp.sum(pexp, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    # flush the updated slab (the out_specs index_map points this block at
+    # slab pos // UPDATE_SLAB of the aliased cache): re-read the slab from
+    # the input ref at the UPDATE_SLAB-aligned base (alignment is provable
+    # by construction, unlike a raw dynamic row index) and apply the same
+    # masked row replacement within it
+    base = (p // UPDATE_SLAB) * UPDATE_SLAB
+    sel_s = (jax.lax.broadcasted_iota(jnp.int32, (UPDATE_SLAB, 1), 0)
+             + base) == p
+    slab_k = k_ref[0, 0, 0, pl.dslice(base, UPDATE_SLAB), :]
+    slab_v = v_ref[0, 0, 0, pl.dslice(base, UPDATE_SLAB), :]
+    if f8_bits:
+        slab_k = pltpu.bitcast(slab_k, jnp.int8)
+        slab_v = pltpu.bitcast(slab_v, jnp.int8)
+    ko_ref[0, 0, 0] = jnp.where(sel_s, kn, slab_k)
+    vo_ref[0, 0, 0] = jnp.where(sel_s, vn, slab_v)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_update_layer(q, k_new, v_new, cache_k, cache_v, bias,
+                                  pos, layer_idx, *, interpret=False):
+    """Per-row-position fused decode attention WITH the cache write done
+    in-kernel: write ``k_new``/``v_new`` at each row's ``pos`` into layer
+    ``layer_idx`` of the FULL stacked cache, then attend over the updated
+    block — one VMEM residency, no XLA scatter. The cache arrays are
+    input/output aliased; only the UPDATE_SLAB-row slab containing each
+    row's position flushes back.
+
+    STATUS: correct but NOT wired into the decode engine — a documented
+    negative result (round 5). Token-exact vs the XLA per-row path on TPU,
+    but a full 16-slot pool tick measured 122.5 ms vs 108.5 ms for the
+    XLA scatter path (bf16 flagship), and the f8 variant loses the aliasing
+    through the boundary bitcasts entirely (720 ms: XLA materializes cache
+    copies per layer). The XLA per-row path with int8 weights + fp8 cache
+    (96.2 ms/tick) is the fastest measured pool configuration, so the
+    engine keeps it (engine._attend_cached gates; ROUND5_NOTES has the full
+    table). Kept because the kernel pattern (scalar-prefetched per-row
+    positions, masked in-register row replacement, aligned slab write-back
+    through aliased outputs) is the correct starting point if the aliasing
+    or Mosaic store-alignment constraints improve.
+
+    Shapes: q/k_new/v_new (B, H, hd); cache_k/cache_v (L, B, H, T, hd) in
+    bf16 or float8_e4m3fn; bias (B, T) f32 additive key-padding mask that
+    ALREADY marks each row's ``pos`` valid; pos (B,) int32. Returns
+    (out (B, H, hd) in q.dtype, cache_k', cache_v')."""
+    b, h, hd = q.shape
+    t = cache_k.shape[3]
+    scale = 1.0 / np.sqrt(hd)
+
+    q4 = q[:, :, None, :]
+    kn4 = k_new[:, :, None, :].astype(jnp.float32)
+    vn4 = v_new[:, :, None, :].astype(jnp.float32)
+    bias3 = bias[:, None, :]
+
+    f8_bits = cache_k.dtype == jnp.float8_e4m3fn
+    io_dtype = jnp.int8 if f8_bits else cache_k.dtype
+    if f8_bits:
+        cache_k = jax.lax.bitcast_convert_type(cache_k, jnp.int8)
+        cache_v = jax.lax.bitcast_convert_type(cache_v, jnp.int8)
+    if not f8_bits:
+        kn4 = kn4.astype(cache_k.dtype)
+        vn4 = vn4.astype(cache_v.dtype)
+
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape((1,))
+    pos = jnp.asarray(pos, jnp.int32)
+    kernel = functools.partial(_decode_attn_update_kernel, scale=scale,
+                               f8_bits=f8_bits)
+    cache_in_spec = pl.BlockSpec(
+        (1, 1, 1, t, hd), lambda i, j, lidx, pos: (lidx[0], i, j, 0, 0))
+    # output slab: only the UPDATE_SLAB rows containing each row's position
+    # flush back (cache arrays are aliased, everything else is untouched)
+    slab_spec = pl.BlockSpec(
+        (1, 1, 1, UPDATE_SLAB, hd),
+        lambda i, j, lidx, pos: (lidx[0], i, j, pos[i] // UPDATE_SLAB, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, lidx, pos: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, lidx, pos: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, lidx, pos: (i, j, 0, 0)),
+            cache_in_spec,
+            cache_in_spec,
+            pl.BlockSpec((1, 1, t), lambda i, j, lidx, pos: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, hd), lambda i, j, lidx, pos: (i, j, 0, 0)),
+            slab_spec,
+            slab_spec,
+        ],
+    )
+    out, ck, cv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, 1, hd), q.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, io_dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, io_dtype),
+        ],
+        # inputs 5/6 are the cache operands (counting the 2 scalar-prefetch
+        # args); alias them onto outputs 1/2 so the update is in place
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(lidx, pos, q4, kn4, vn4, cache_k, cache_v, bias3)
+    if f8_bits:
+        ck = jax.lax.bitcast_convert_type(ck, jnp.float8_e4m3fn)
+        cv = jax.lax.bitcast_convert_type(cv, jnp.float8_e4m3fn)
+    return out[:, :, 0, :], ck, cv
+
+
 def decode_attention_reference(q, k_cache, v_cache, bias):
     """XLA reference (same math, cache upcast materialized) — used on
     non-TPU backends and as the parity oracle in tests."""

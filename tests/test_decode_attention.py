@@ -78,3 +78,46 @@ def test_kernel_fully_masked_rows_absent():
                                atol=1e-2, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(v[0, 0, 0]),
                                atol=1e-2, rtol=1e-2)
+
+
+@pytest.mark.parametrize("cache_dtype", [jnp.bfloat16, jnp.float8_e4m3fn])
+def test_update_layer_kernel_write_and_attend(cache_dtype):
+    """decode_attention_update_layer (in-kernel per-row cache write +
+    attend; NOT wired into the engine — a measured negative result for
+    pool-tick time, see its docstring): the returned caches must equal the
+    XLA scatter bit-exactly on every layer (updated layer + untouched
+    layers through the aliased outputs), and the attention output must see
+    the just-written K/V."""
+    rng = np.random.default_rng(0)
+    L, B, H, T, hd = 3, 4, 2, 64, 128
+    ck = jnp.asarray(rng.standard_normal((L, B, H, T, hd)) * 0.3
+                     ).astype(cache_dtype)
+    cv = jnp.asarray(rng.standard_normal((L, B, H, T, hd)) * 0.3
+                     ).astype(cache_dtype)
+    q = jnp.asarray(rng.standard_normal((B, H, hd)) * 0.3,
+                    jnp.float32).astype(jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((B, H, hd)) * 0.3, jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, H, hd)) * 0.3, jnp.float32)
+    positions = [5, 37, 0, 63]
+    pos = jnp.asarray(positions, jnp.int32)
+    valid = np.zeros((B, T), bool)
+    for i, p in enumerate(positions):
+        valid[i, : p + 1] = True
+    bias = jnp.where(jnp.asarray(valid), 0.0, -1e9).astype(jnp.float32)
+
+    out, ck2, cv2 = da.decode_attention_update_layer(
+        q, kn, vn, ck, cv, bias, pos, 1, interpret=True)
+
+    rows = jnp.arange(B)
+    ck_ref = ck.at[1, rows, :, pos, :].set(kn.astype(cache_dtype))
+    cv_ref = cv.at[1, rows, :, pos, :].set(vn.astype(cache_dtype))
+    np.testing.assert_array_equal(
+        np.asarray(ck2.astype(jnp.float32)),
+        np.asarray(ck_ref.astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(cv2.astype(jnp.float32)),
+        np.asarray(cv_ref.astype(jnp.float32)))
+    want = da.decode_attention_reference(q, ck_ref[1], cv_ref[1], bias)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        atol=2e-2 if cache_dtype == jnp.float8_e4m3fn else 4e-3)
