@@ -198,8 +198,9 @@ def main():
         # below keeps fast-first admission (first_window=4 default) — that
         # is the LATENCY protocol, where per-admission dispatches buy TTFA.
         server = StreamServer(pipe, slots=s_slots, first_window=8)
+        server.warmup_admission()  # batched admission-wave programs
         server.submit(src, ref)
-        server.drain()  # compile
+        server.drain()  # compile the tick/tail programs
         server = StreamServer(pipe, slots=s_slots, first_window=8)
         t0 = time.perf_counter()
         sids = [server.submit(src, ref) for _ in range(s_streams)]
@@ -223,11 +224,34 @@ def main():
         if os.environ.get("BENCH_POISSON", "1") != "0":
             from bench_serving import poisson_sweep
 
-            capacity = s_streams / s_wall  # streams/s at saturation (drain)
+            # warm the LATENCY-protocol programs (fast-first admission
+            # mini-tick + its vocode-tail geometry) before starting the
+            # Poisson clock: the drain warm-ups above use first_window=8, so
+            # without this the first admission inside the sweep pays the
+            # row_prefill_first compile and every queued stream behind it
+            # inherits seconds of fake queue wait (r5 driver record: TTFA
+            # p50 8.6 s at 0.75x on the int8+fp8 sweep)
+            warm = StreamServer(pipe, slots=s_slots)
+            warm.warmup_admission()
+            warm.submit(src, ref)
+            warm.drain()
+            # capacity for the sweep = a FAST-FIRST saturated drain: the
+            # latency protocol pays ~one single-stream first window of
+            # device time per admission, so the first_window=8 drain above
+            # (throughput protocol) overstates what the sweep can sustain
+            # by ~2x and every factor would silently mean "overload"
+            warm = StreamServer(pipe, slots=s_slots)
+            t0 = time.perf_counter()
+            for _ in range(s_streams):
+                warm.submit(src, ref)
+            warm.drain()
+            capacity = s_streams / (time.perf_counter() - t0)
             rows, max_lam = poisson_sweep(
                 pipe, src, ref, s_slots, capacity,
                 factors=(0.75, 1.0, 1.5, 2.0),
-                n_arrivals=int(os.environ.get("BENCH_POISSON_N", "24")))
+                n_arrivals=int(os.environ.get("BENCH_POISSON_N", "48")))
+            serving["drain_capacity_streams_per_s"] = round(
+                s_streams / s_wall, 3)
             serving["capacity_streams_per_s"] = round(capacity, 3)
             serving["poisson"] = rows
             serving["max_sustainable_lambda_ttfa500ms"] = max_lam
@@ -308,8 +332,11 @@ def main():
                     s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
                     s_streams = int(os.environ.get("BENCH_SERVE_STREAMS",
                                                    "32"))
+                    # throughput-protocol drain (first_window=8, r3/r4
+                    # comparable) for the record...
                     server = StreamServer(pipe_c, slots=s_slots,
                                           first_window=8)
+                    server.warmup_admission()
                     server.submit(src, ref)
                     server.drain()  # compile
                     server = StreamServer(pipe_c, slots=s_slots,
@@ -318,13 +345,29 @@ def main():
                     for _ in range(s_streams):
                         server.submit(src, ref)
                     server.drain()
+                    cap_drain_q = s_streams / (time.perf_counter() - t0)
+                    # ...then compile the fast-first programs (the int8+fp8
+                    # pipe's have never run at this point; compiling them
+                    # mid-sweep poisoned the r5 driver record: TTFA p50
+                    # 8.6 s at 0.75x) and measure the LATENCY-protocol
+                    # capacity the sweep factors are actually relative to
+                    warm_q = StreamServer(pipe_c, slots=s_slots)
+                    warm_q.warmup_admission()
+                    warm_q.submit(src, ref)
+                    warm_q.drain()
+                    warm_q = StreamServer(pipe_c, slots=s_slots)
+                    t0 = time.perf_counter()
+                    for _ in range(s_streams):
+                        warm_q.submit(src, ref)
+                    warm_q.drain()
                     cap_q = s_streams / (time.perf_counter() - t0)
                     rows_q, max_lam_q = poisson_sweep(
                         pipe_c, src, ref, s_slots, cap_q,
                         factors=(0.75, 1.0, 1.5),
                         n_arrivals=int(os.environ.get("BENCH_POISSON_N",
-                                                      "24")))
+                                                      "48")))
                     int8_section["int8_fp8_serving"] = {
+                        "drain_capacity_streams_per_s": round(cap_drain_q, 3),
                         "capacity_streams_per_s": round(cap_q, 3),
                         "poisson": rows_q,
                         "max_sustainable_lambda_ttfa500ms": max_lam_q,

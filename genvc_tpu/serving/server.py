@@ -22,8 +22,12 @@ assembly, same multi-segment progression.
 
 Engine mechanics: pool rows sit at different decode depths, so the pool's
 ``DecodeState`` uses per-row cache positions (``init_state(per_row=True)``);
-admission runs a single-row segment prefill and writes it into a slot with
-one jitted ``insert_row`` dispatch. Every tick is ONE device call
+admission prefills queued streams in WAVES — up to ``adm_batch`` waiting
+streams per batched segment-prefill dispatch (power-of-two buckets) plus one
+batched ``insert_many`` call, amortizing the B=1-starved ContentVec/prefill
+matmuls that otherwise bound the sustainable arrival rate (measured 3x
+per-stream at B=4; ``warmup_admission`` pre-compiles the buckets). Every
+tick is ONE device call
 (``pipeline.stream_chunk_batch_fn``): 8 decode steps + the completed
 8-latent window vocoded for all rows, with device->host copies started at
 dispatch. Streams may carry per-request decode parameters
@@ -140,25 +144,79 @@ def _serving_jits(pipe):
         return state, toks, all_lats, pre_fin, wav
 
     @jax.jit
-    def insert_fn(pool, row, slot, carry, lat0, pool_params, row_values):
-        """Admit a prefilled row into ``slot``: cache insertion, its prefill
-        latent becomes the slot's window carry, and the slot's decode
-        params are set to the stream's config."""
-        s = jnp.asarray(slot, jnp.int32)
-        new_pool = engine.insert_row(pool, row, slot)
-        carry = jax.lax.dynamic_update_slice(
-            carry, lat0[:, None, :].astype(carry.dtype),
-            (s, jnp.int32(0), jnp.int32(0)))
-        new_params = {
-            k: jax.lax.dynamic_update_slice(pool_params[k], row_values[k],
-                                            (s,))
-            for k in pool_params
-        }
-        return new_pool, carry, new_params
+    def insert_many_fn(pool, rows, slots, carry, lat_rows, pool_params,
+                       row_values):
+        """Admit a wave of prefilled rows (``rows``: a DecodeState holding
+        B rows from one batched prefill dispatch) into the B ``slots``:
+        per-row cache insertion, each prefill latent becomes its slot's
+        window carry, and each slot's decode params are set to its stream's
+        config — ONE device call for the whole wave (see
+        ``StreamServer._admit``)."""
+        b = rows.last_token.shape[0]
+        z = jnp.int32(0)
 
-    pipe._serving_jit_cache = (row_prefill, insert_fn,
-                               row_prefill_first)
+        def body(i, acc):
+            pool, carry, params = acc
+            row = engine.DecodeState(
+                cache_k=jax.lax.dynamic_slice_in_dim(rows.cache_k, i, 1, 1),
+                cache_v=jax.lax.dynamic_slice_in_dim(rows.cache_v, i, 1, 1),
+                key_valid=jax.lax.dynamic_slice_in_dim(rows.key_valid,
+                                                       i, 1, 0),
+                cur_index=jax.lax.dynamic_slice_in_dim(rows.cur_index,
+                                                       i, 1, 0),
+                n_generated=jax.lax.dynamic_slice_in_dim(rows.n_generated,
+                                                         i, 1, 0),
+                last_token=jax.lax.dynamic_slice_in_dim(rows.last_token,
+                                                        i, 1, 0),
+                seen=jax.lax.dynamic_slice_in_dim(rows.seen, i, 1, 0),
+                finished=jax.lax.dynamic_slice_in_dim(rows.finished, i, 1, 0),
+                rng=rows.rng)
+            s = slots[i]
+            pool = engine.insert_row(pool, row, s)
+            lat = jax.lax.dynamic_slice_in_dim(lat_rows, i, 1, 0)
+            carry = jax.lax.dynamic_update_slice(
+                carry, lat[:, None, :].astype(carry.dtype), (s, z, z))
+            params = {
+                k: jax.lax.dynamic_update_slice(
+                    params[k],
+                    jax.lax.dynamic_slice_in_dim(row_values[k], i, 1, 0),
+                    (s,))
+                for k in params
+            }
+            return (pool, carry, params)
+
+        return jax.lax.fori_loop(0, b, body, (pool, carry, pool_params))
+
+    pipe._serving_jit_cache = (row_prefill, row_prefill_first,
+                               insert_many_fn)
     return pipe._serving_jit_cache
+
+
+class _AdmResult:
+    """Device results of one (possibly batched) fast-first admission
+    dispatch, shared by the slots admitted in that wave; fetched to host at
+    most once (the first slot processed pays the copy, the rest read it)."""
+
+    __slots__ = ("toks", "all_lats", "pre_fin", "wavs", "_np")
+
+    def __init__(self, toks, all_lats, pre_fin, wavs):
+        self.toks, self.all_lats = toks, all_lats
+        self.pre_fin, self.wavs = pre_fin, wavs
+        self._np = None
+
+    def ready(self) -> bool:
+        if self._np is not None:
+            return True
+        try:
+            return (self.toks.is_ready() and self.pre_fin.is_ready()
+                    and self.wavs.is_ready())
+        except Exception:
+            return False  # no readiness API: the forced path handles it
+
+    def fetch(self):
+        if self._np is None:
+            self._np = jax.device_get((self.toks, self.pre_fin, self.wavs))
+        return self._np
 
 
 class StreamServer:
@@ -176,7 +234,7 @@ class StreamServer:
 
     def __init__(self, pipe, slots: int = 8, depth: int = 2, mesh=None,
                  max_queue: int | None = None,
-                 first_window: int | None = None):
+                 first_window: int | None = None, adm_batch: int = 4):
         """``mesh`` (optional ``jax.sharding.Mesh``): shard the slot pool
         over the mesh's FIRST axis — scale-out serving, slots/chips rows per
         chip. Decode has no cross-row ops, so GSPMD partitions the tick
@@ -202,9 +260,26 @@ class StreamServer:
         (and later segments) keep the 8-token pool cadence; per-stream audio
         matches ``synthesize_streaming`` with ``first_chunk_tokens ==
         first_window`` (parity test tests/test_serving.py). Costs one extra
-        dispatch + host sync per admission."""
+        dispatch + host sync per admission.
+
+        ``adm_batch`` (default 4): maximum admission wave size. When several
+        streams are waiting and slots are free, up to ``adm_batch`` of them
+        are prefilled in ONE batched dispatch (power-of-two buckets) instead
+        of one dispatch each. Per-admission device time is dominated by
+        B=1-starved ContentVec/prefill matmuls and the HBM weight stream of
+        the fast-first decode steps, both of which batching amortizes — the
+        difference between a pool that saturates on admissions and one that
+        saturates on decode (measured: the sustainable Poisson arrival rate
+        bound, bench_serving). ``adm_batch=1`` restores per-stream
+        admissions. Call :meth:`warmup_admission` to pre-compile the bucket
+        programs before serving live traffic."""
         self.pipe = pipe
         self.slots = int(slots)
+        ab = max(1, int(adm_batch))
+        # power-of-two buckets <= adm_batch: bounded compile count, and a
+        # wave of any size admits in <= log2(adm_batch)+1 dispatches
+        self._adm_buckets = tuple(b for b in (1, 2, 4, 8, 16, 32)
+                                  if b <= ab)
         fw = (pipe.first_chunk_tokens if first_window is None
               else int(first_window))
         self.first_window = max(1, min(int(fw), STREAM_CHUNK))
@@ -315,11 +390,11 @@ class StreamServer:
         return _serving_jits(self.pipe)[0]
 
     @property
-    def _insert_fn(self):
+    def _row_prefill_first(self):
         return _serving_jits(self.pipe)[1]
 
     @property
-    def _row_prefill_first(self):
+    def _insert_many_fn(self):
         return _serving_jits(self.pipe)[2]
 
     @staticmethod
@@ -392,79 +467,99 @@ class StreamServer:
     # ---------------------------------------------------------- admission
 
     def _start_segment(self, stream: _Stream, slot: int):
-        """Prefill the stream's current segment and insert it into ``slot``.
+        """Prefill the stream's current segment and insert it into ``slot``
+        (single-stream wave — segment advances and adm_batch=1 admissions)."""
+        self._start_segments([stream], [slot])
+
+    def _start_segments(self, streams: list, slots: list):
+        """Prefill one segment per stream and insert the rows into ``slots``
+        — ONE batched prefill dispatch + ONE batched insert for the whole
+        wave (``len(streams)`` is a compiled bucket size, see ``_admit``).
 
         With fast-first active (``first_window < STREAM_CHUNK``, segment 0
         only — later segments are not latency-critical, same rule as the
-        single-stream driver), an additional single-row mini-tick is
-        dispatched that decodes ``first_window`` tokens and vocodes the
-        first window; the row enters the pool carrying latent ``fw`` so pool
-        ticks continue the exact window alignment of ``synthesize_streaming``
-        with ``first_chunk_tokens == fw``. The mini-tick result is NOT
-        fetched here — admission stays fully asynchronous (a blocking fetch
-        per admission would serialize the host and cost drain throughput);
-        it is recorded in ``_pending_adm`` and processed by ``step()``
+        single-stream driver), the dispatch additionally decodes
+        ``first_window`` tokens and vocodes each stream's first window; rows
+        enter the pool carrying latent ``fw`` so pool ticks continue the
+        exact window alignment of ``synthesize_streaming`` with
+        ``first_chunk_tokens == fw``. The mini-tick result is NOT fetched
+        here — admission stays fully asynchronous (a blocking fetch per
+        admission would serialize the host and cost drain throughput); it is
+        recorded per slot in ``_pending_adm`` (one shared
+        :class:`_AdmResult` per wave) and processed by ``step()``
         opportunistically (``is_ready``) or forcibly before consuming any
         pool-tick data for the slot. A segment that ends inside the
-        admission window is detected there and the slot advanced then."""
+        admission window is detected there and the slot advanced then.
+
+        Waves mirror the batch decode paths' rng semantics: the wave shares
+        one rng fold, exactly like rows of a pool tick or of
+        ``synthesize_streaming_batch`` share theirs."""
         pipe = self.pipe
-        seg, t_real = stream.segments[stream.seg_idx]
-        values = self._sampler_values(stream.sampler or pipe.sampler)
-        stream.max_new = pipe._max_new(pipe._host_n_codes(t_real))
         fw = self.first_window
+        b = len(streams)
+        segs, t_reals, conds, values_l = [], [], [], []
+        for s in streams:
+            seg, t_real = s.segments[s.seg_idx]
+            s.max_new = pipe._max_new(pipe._host_n_codes(t_real))
+            segs.append(pipe._pcm16(seg))
+            t_reals.append(t_real)
+            conds.append(s.cond)
+            values_l.append(self._sampler_values(s.sampler or pipe.sampler))
+        seg16k = jnp.asarray(segs[0] if b == 1 else np.concatenate(segs, 0))
+        t_arr = jnp.asarray(t_reals, jnp.int32)
+        cond = conds[0] if b == 1 else jnp.concatenate(conds, 0)
+        values = (values_l[0] if b == 1 else
+                  {k: jnp.concatenate([v[k] for v in values_l])
+                   for k in values_l[0]})
         pending = None
-        if stream.seg_idx == 0 and fw < STREAM_CHUNK:
-            # ONE dispatch: prefill + fw decode steps + first-window vocode
-            row, toks, all_lats, pre_fin, wavs = self._row_prefill_first(
+        if streams[0].seg_idx == 0 and fw < STREAM_CHUNK:
+            # ONE dispatch: prefills + fw decode steps + first-window vocodes
+            rows, toks, all_lats, pre_fin, wavs = self._row_prefill_first(
                 pipe.contentvec_params, pipe.content_dvae_params,
-                pipe.gpt_params, pipe.hifigan_params, stream.cond,
-                jnp.asarray(pipe._pcm16(seg)),
-                jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values,
-                fw=fw)
+                pipe.gpt_params, pipe.hifigan_params, cond, seg16k, t_arr,
+                pipe._next_rng(), values, fw=fw)
             try:
                 toks.copy_to_host_async()
                 pre_fin.copy_to_host_async()
                 wavs.copy_to_host_async()
             except Exception:
                 pass
-            pending = (toks, all_lats, pre_fin, wavs)
-            carry = all_lats[:, fw, :]           # latent fw: next window's carry
-            stream.n_total = 1 + fw
-            stream.first_tick = False            # prefill EOS handled async
+            pending = _AdmResult(toks, all_lats, pre_fin, wavs)
+            lat_rows = all_lats[:, fw, :]        # latent fw: next window's carry
+            for s in streams:
+                s.n_total = 1 + fw
+                s.first_tick = False             # prefill EOS handled async
         else:
-            row, tok0, lat0 = self._row_prefill(
+            rows, tok0, lat_rows = self._row_prefill(
                 pipe.contentvec_params, pipe.content_dvae_params,
-                pipe.gpt_params, stream.cond, jnp.asarray(pipe._pcm16(seg)),
-                jnp.asarray([t_real], jnp.int32), pipe._next_rng(), values)
-            carry = lat0
-            stream.n_total = 1
-            stream.first_tick = True
-        self._pool, self._carry, self._row_params = self._insert_fn(
-            self._pool, row, jnp.int32(slot), self._carry, carry,
-            self._row_params, values)
-        self._slot_epoch[slot] += 1  # in-flight ticks for this slot are stale
-        self._slot_custom[slot] = stream.sampler is not None
-        if pending is not None:
-            self._pending_adm[slot] = pending
+                pipe.gpt_params, cond, seg16k, t_arr, pipe._next_rng(),
+                values)
+            for s in streams:
+                s.n_total = 1
+                s.first_tick = True
+        self._pool, self._carry, self._row_params = self._insert_many_fn(
+            self._pool, rows, jnp.asarray(slots, jnp.int32), self._carry,
+            lat_rows, self._row_params, values)
+        for i, (s, slot) in enumerate(zip(streams, slots)):
+            self._slot_epoch[slot] += 1  # in-flight ticks for the slot: stale
+            self._slot_custom[slot] = s.sampler is not None
+            if pending is not None:
+                self._pending_adm[slot] = (pending, i)
 
     def _process_admission(self, slot: int, force: bool):
-        """Consume a pending fast-first admission result for ``slot``: emit
-        the first window (and the EOS tail when the segment ended inside it,
-        advancing the slot). ``force=False`` returns without blocking when
-        the device result is not on host yet; ``force=True`` fetches — only
-        used once a LATER-dispatched pool tick has completed, so the fetch
-        is a local copy, never a device wait."""
-        rec = self._pending_adm.get(slot)
-        if rec is None:
+        """Consume the pending fast-first admission result for ``slot``:
+        emit the first window (and the EOS tail when the segment ended
+        inside it, advancing the slot). ``force=False`` returns without
+        blocking when the device result is not on host yet; ``force=True``
+        fetches — only used once a LATER-dispatched pool tick has completed,
+        so the fetch is a local copy, never a device wait. Slots admitted in
+        one wave share the :class:`_AdmResult`; row ``i`` is this slot's."""
+        ent = self._pending_adm.get(slot)
+        if ent is None:
             return
-        toks, all_lats, pre_fin, wavs = rec
-        if not force:
-            try:
-                if not (toks.is_ready() and pre_fin.is_ready()
-                        and wavs.is_ready()):
-                    return
-            except Exception:
-                return  # no readiness API: the forced path will handle it
+        rec, i = ent
+        if not force and not rec.ready():
+            return
         del self._pending_adm[slot]
         s = self._slot_map[slot]
         if s.sid in self._cancelled:
@@ -472,38 +567,108 @@ class StreamServer:
         pipe = self.pipe
         fw = self.first_window
         stop = pipe.gpt_cfg.stop_audio_token
-        toks_np, pre_np, wavs_np = jax.device_get((toks, pre_fin, wavs))
-        if bool(pre_np[0, 0]):
+        toks_np, pre_np, wavs_np = rec.fetch()
+        if bool(pre_np[i, 0]):
             # EOS at the prefill-sampled token: vocode just its latent
-            wav = pipe._vocode_tail_fn(pipe.hifigan_params, all_lats,
-                                       0, 0, 1, win=fw)
+            wav = pipe._vocode_tail_fn(pipe.hifigan_params, rec.all_lats,
+                                       i, 0, 1, win=fw)
             self._emit(s, np.asarray(wav)[0, : pipe.gpt_cfg.code_stride_len])
             self._advance(s, slot)
             return
         eos_j, n_lat_valid, full, rem = window_accounting(
-            toks_np[0], 1, s.max_new, stop, carry_n=1, win=fw)
+            toks_np[i], 1, s.max_new, stop, carry_n=1, win=fw)
         if full >= 1:
-            self._emit(s, wavs_np[0])
+            self._emit(s, wavs_np[i])
         if eos_j is not None:
             if rem > 0:
                 wav = pipe._vocode_tail_fn(
-                    pipe.hifigan_params, all_lats, 0, full * fw, rem, win=fw)
+                    pipe.hifigan_params, rec.all_lats, i, full * fw, rem,
+                    win=fw)
                 self._emit(s, np.asarray(wav)
                            [0, : rem * pipe.gpt_cfg.code_stride_len])
             self._advance(s, slot)
 
     def _admit(self):
         while self._queue and self._free:
-            stream = self._queue.popleft()
-            if stream.sid in self._cancelled:
-                self._finalize(stream, cancelled=True)
+            # pop the next admission WAVE: up to the largest bucket that
+            # fits the waiting streams and the free slots, admitted in one
+            # batched prefill+insert dispatch pair; leftovers (wave size not
+            # a bucket) go back to the queue head and admit on the next loop
+            # iteration at a smaller bucket — FIFO order is preserved
+            cap = min(len(self._free), self._adm_buckets[-1])
+            wave = []
+            while self._queue and len(wave) < cap:
+                stream = self._queue.popleft()
+                if stream.sid in self._cancelled:
+                    self._finalize(stream, cancelled=True)
+                    continue
+                wave.append(stream)
+            if not wave:
                 continue
-            slot = self._free.pop(0)
-            self._slot_map[slot] = stream
-            self._n_admissions += 1
-            if stream.admit_t is None:
-                stream.admit_t = time.perf_counter()
-            self._start_segment(stream, slot)
+            b = max(x for x in self._adm_buckets if x <= len(wave))
+            for s in reversed(wave[b:]):
+                self._queue.appendleft(s)
+            wave = wave[:b]
+            slots = [self._free.pop(0) for _ in wave]
+            now = time.perf_counter()
+            for s, slot in zip(wave, slots):
+                self._slot_map[slot] = s
+                self._n_admissions += 1
+                if s.admit_t is None:
+                    s.admit_t = now
+            self._start_segments(wave, slots)
+
+    def warmup_admission(self, buckets=None):
+        """Pre-compile every admission-path program this server can
+        dispatch: the (batched) segment prefill for each wave bucket, the
+        batched insert, and the fast-first EOS-tail vocode at each wave
+        width. Call once before serving live traffic — otherwise the first
+        wave of each size pays its compile mid-serve (tens of seconds on a
+        fresh cache) and every stream queued behind it inherits that wait as
+        fake TTFA. Results are discarded; the pool state is NOT mutated
+        (the jitted programs are pure and cached on the pipeline, so one
+        warmed server warms every server over the same pipe)."""
+        pipe = self.pipe
+        fw = self.first_window
+        fastfirst = fw < STREAM_CHUNK
+        width = pipe._seg_len_16k
+        zseg = pipe._pcm16(np.zeros((1, width), np.float32))
+        cond1 = pipe.get_gpt_cond_latents(
+            np.zeros((1, pipe.sample_rate), np.float32))
+        vals1 = self._sampler_values(pipe.sampler)
+        want = [b for b in (buckets or self._adm_buckets) if b <= self.slots]
+        if fastfirst and 1 not in want:
+            want.append(1)  # segment advances always prefill at B=1
+        for b in sorted(want):
+            seg16k = jnp.asarray(np.concatenate([zseg] * b, 0))
+            t_arr = jnp.asarray([width] * b, jnp.int32)
+            cond = cond1 if b == 1 else jnp.concatenate([cond1] * b, 0)
+            vals = (vals1 if b == 1 else
+                    {k: jnp.concatenate([vals1[k]] * b) for k in vals1})
+            if fastfirst:
+                rows, toks, all_lats, pre_fin, wavs = self._row_prefill_first(
+                    pipe.contentvec_params, pipe.content_dvae_params,
+                    pipe.gpt_params, pipe.hifigan_params, cond, seg16k,
+                    t_arr, pipe._next_rng(), vals, fw=fw)
+                lat_rows = all_lats[:, fw, :]
+                # EOS inside the admission window vocodes a tail at this
+                # wave width (B=b, fw+1 latents)
+                pipe._vocode_tail_fn(pipe.hifigan_params, all_lats, 0, 0, 1,
+                                     win=fw)
+                if b == 1:  # later segments of a fast-first stream
+                    self._row_prefill(
+                        pipe.contentvec_params, pipe.content_dvae_params,
+                        pipe.gpt_params, cond, seg16k, t_arr,
+                        pipe._next_rng(), vals)
+            else:
+                rows, tok0, lat_rows = self._row_prefill(
+                    pipe.contentvec_params, pipe.content_dvae_params,
+                    pipe.gpt_params, cond, seg16k, t_arr, pipe._next_rng(),
+                    vals)
+            out = self._insert_many_fn(
+                self._pool, rows, jnp.arange(b, dtype=jnp.int32),
+                self._carry, lat_rows, self._row_params, vals)
+            jax.block_until_ready(out)
 
     def cancel(self, sid: int):
         """Cancel a stream. Queued: finalized (empty) at the next admit

@@ -345,3 +345,97 @@ def test_server_max_queue_backpressure(pipe):
         assert wav.shape[-1] > 0 and not stats["cancelled"]
     m = server.metrics()
     assert m["completed"] == 3 and m["rejected"] == 1 and m["queued"] == 0
+
+
+def test_batched_admission_wave(pipe):
+    """A full admission wave (4 streams into 4 free slots, one batched
+    prefill+insert dispatch pair) must produce per-stream audio identical to
+    single-stream runs — with heterogeneous source lengths (different
+    max_new per row) and a custom sampler on ONE row of the wave (the
+    batched values path). Also covers the fast-first wave variant and
+    warmup_admission (pool state must be untouched by the warmup)."""
+    from genvc_tpu.decode.engine import SamplerConfig
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(51)
+    srcs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (16000, 9000, 24000, 6000)]
+    refs = [(rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+            for n in (24000, 30000, 24000, 24000)]
+    singles = [pipe.synthesize_streaming(s, r, verbose=False)[0]
+               for s, r in zip(srcs, refs)]
+
+    for fw in (8, 4):
+        old_fct = pipe.first_chunk_tokens
+        try:
+            pipe.first_chunk_tokens = fw
+            if fw != 8:
+                singles_fw = [pipe.synthesize_streaming(
+                    s, r, verbose=False)[0] for s, r in zip(srcs, refs)]
+            else:
+                singles_fw = singles
+            server = StreamServer(pipe, slots=4, first_window=fw,
+                                  adm_batch=4)
+            assert server._adm_buckets == (1, 2, 4)
+            def snap(pool):
+                return [np.asarray(
+                    jax.random.key_data(x)
+                    if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+                    else x) for x in jax.tree.leaves(pool)]
+
+            pool_before = snap(server._pool)
+            server.warmup_admission()
+            # warmup is pure: the pool state must be bit-identical
+            for a, b in zip(pool_before, snap(server._pool)):
+                assert np.array_equal(a, b)
+            sids = [server.submit(s, r) for s, r in zip(srcs, refs)]
+            # one custom-sampler stream rides the same wave
+            sid_x = None
+            server.drain()
+            assert server.metrics()["admissions"] == 4
+            for sid, want in zip(sids, singles_fw):
+                got, stats = server.result(sid)
+                assert got.shape == want.shape, (fw, got.shape, want.shape)
+                np.testing.assert_allclose(got, want, atol=2e-4)
+        finally:
+            pipe.first_chunk_tokens = old_fct
+
+    # custom sampler inside a batched wave: greedy rows must still match
+    server = StreamServer(pipe, slots=4, adm_batch=4)
+    sid_g = server.submit(srcs[0], refs[0])
+    sid_s = server.submit(srcs[1], refs[1], sampler=SamplerConfig(
+        temperature=0.8, top_k=5, top_p=0.9, repetition_penalty=2.0,
+        do_sample=True))
+    sid_g2 = server.submit(srcs[2], refs[2])
+    server.drain()
+    for sid, want in ((sid_g, singles[0]), (sid_g2, singles[2])):
+        got, _ = server.result(sid)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4)
+    wav_s, _ = server.result(sid_s)
+    assert wav_s.shape[0] > 0 and np.all(np.isfinite(wav_s))
+
+
+def test_admission_spillback_order(pipe):
+    """A wave larger than the largest bucket spills back to the queue head:
+    FIFO completion order of admission (admit_t monotone in submit order)
+    and correct audio for every stream."""
+    from genvc_tpu.serving.server import StreamServer
+
+    rng = np.random.default_rng(52)
+    srcs = [(rng.standard_normal((1, 6000 + 2000 * i)) * 0.1
+             ).astype(np.float32) for i in range(6)]
+    ref = (rng.standard_normal((1, 24000)) * 0.1).astype(np.float32)
+    server = StreamServer(pipe, slots=3, adm_batch=2)
+    assert server._adm_buckets == (1, 2)
+    sids = [server.submit(s, ref) for s in srcs]
+    server.drain()
+    admit_ts = []
+    for sid, src in zip(sids, srcs):
+        wav, stats = server.result(sid)
+        want, _, _ = pipe.synthesize_streaming(src, ref, verbose=False)
+        assert wav.shape == want.shape
+        np.testing.assert_allclose(wav, want, atol=2e-4)
+        admit_ts.append(stats["queue_wait_s"])
+    # earlier submissions never wait longer than later ones (FIFO admission)
+    assert all(a <= b + 1e-6 for a, b in zip(admit_ts, admit_ts[3:]))
