@@ -114,28 +114,52 @@ def poisson_load(pipe, src, ref, slots: int, lam: float, n_arrivals: int,
 
 def poisson_sweep(pipe, src, ref, slots: int, capacity: float,
                   factors=(0.5, 0.75, 1.0, 1.5, 2.0), n_arrivals: int = 32,
-                  ttfa_slo_ms: float = 500.0):
+                  ttfa_slo_ms: float = 500.0, refine: int = 2):
     """Sweep arrival rate over ``factors`` x estimated capacity. Returns
     (rows, max_sustainable_lambda): the largest swept rate whose p95
     time-to-first-audio stays under ``ttfa_slo_ms`` AND whose TTFA is not
     growing with arrival order (``sustained`` — overload builds backlog
     linearly, so a short run's p95 alone would overstate capacity).
 
+    After the fixed factors, up to ``refine`` extra probes bisect between
+    the highest passing and lowest failing rate (or halve below the lowest
+    swept rate when everything failed), so the reported max sustainable
+    lambda is a measured bracket rather than a coarse grid point.
+
     ``capacity`` must be estimated under the SAME protocol the sweep runs
     (fast-first admission): the throughput-protocol drain overstates it —
     fast-first pays ~one single-stream first-window of device time per
     admission that pure pool cadence never dispatches."""
     rows = []
-    max_ok = None
-    for f in factors:
+
+    def passes(row):
+        return row["ttfa_ms_p95"] <= ttfa_slo_ms and row["sustained"]
+
+    def probe(f):
         lam = capacity * f
         row = poisson_load(pipe, src, ref, slots, lam, n_arrivals,
                            seed=int(f * 100))
-        row["capacity_factor"] = f
+        row["capacity_factor"] = round(f, 4)
         rows.append(row)
-        if row["ttfa_ms_p95"] <= ttfa_slo_ms and row["sustained"]:
-            if max_ok is None or lam > max_ok:
-                max_ok = lam
+
+    for f in factors:
+        probe(f)
+    for _ in range(max(0, refine)):
+        ok_f = [r["capacity_factor"] for r in rows if passes(r)]
+        bad_f = [r["capacity_factor"] for r in rows if not passes(r)]
+        if ok_f:
+            above = [f for f in bad_f if f > max(ok_f)]
+            if not above:
+                break  # even the top of the grid passed; nothing to bracket
+            lo, hi = max(ok_f), min(above)
+            if hi - lo < 0.1:
+                break
+            probe((lo + hi) / 2)
+        else:
+            probe(min(r["capacity_factor"] for r in rows) / 2)
+    rows.sort(key=lambda r: r["capacity_factor"])
+    ok = [capacity * r["capacity_factor"] for r in rows if passes(r)]
+    max_ok = max(ok) if ok else None
     return rows, (round(max_ok, 3) if max_ok is not None else None)
 
 

@@ -439,3 +439,48 @@ def test_admission_spillback_order(pipe):
         admit_ts.append(stats["queue_wait_s"])
     # earlier submissions never wait longer than later ones (FIFO admission)
     assert all(a <= b + 1e-6 for a, b in zip(admit_ts, admit_ts[3:]))
+
+
+def test_poisson_sweep_refinement(monkeypatch):
+    """The sweep's bisection probes must tighten the max-sustainable-lambda
+    bracket: with a synthetic load model that passes below a threshold rate
+    and fails above it, the reported max lambda lands within one bisection
+    step of the threshold instead of on the coarse grid point."""
+    import bench_serving
+
+    capacity = 10.0
+    threshold = 9.0  # streams/s: pass below, fail above
+
+    def fake_load(pipe, src, ref, slots, lam, n_arrivals, seed=0,
+                  max_queue=None, adm_batch=4):
+        ok = lam <= threshold
+        return {
+            "lambda": round(lam, 3), "arrivals": n_arrivals,
+            "completed": n_arrivals, "wall_s": 1.0,
+            "throughput_streams_per_s": min(lam, threshold),
+            "ttfa_ms_p50": 100.0 if ok else 900.0,
+            "ttfa_ms_p95": 200.0 if ok else 2000.0,
+            "queue_wait_ms_p95": 10.0,
+            "rtf_incl_queue_p50": 0.5, "rtf_incl_queue_p95": 0.6,
+            "rtf_service_p50": 0.4, "rtf_service_p95": 0.5,
+            "ttfa_growth_ms": 0.0 if ok else 800.0,
+            "sustained": ok,
+        }
+
+    monkeypatch.setattr(bench_serving, "poisson_load", fake_load)
+    rows, max_lam = bench_serving.poisson_sweep(
+        None, None, None, 8, capacity, factors=(0.75, 1.0, 1.5), refine=2)
+    # grid alone would report 0.75 x 10 = 7.5; two bisections between 0.75
+    # and 1.0 must reach [0.875, 0.9375] -> max sustained 8.75 or higher
+    assert max_lam is not None and 8.75 <= max_lam <= threshold
+    assert [r["capacity_factor"] for r in rows] == sorted(
+        r["capacity_factor"] for r in rows)
+    # everything passing: no probes fired beyond the grid, no bracket above
+    rows2, max_lam2 = bench_serving.poisson_sweep(
+        None, None, None, 8, capacity, factors=(0.5, 0.75), refine=2)
+    assert max_lam2 == 7.5 and len(rows2) == 2
+    # everything failing: probes halve downward below the grid
+    rows3, max_lam3 = bench_serving.poisson_sweep(
+        None, None, None, 8, 40.0, factors=(0.5, 1.0), refine=2)
+    assert max_lam3 is None or max_lam3 <= threshold
+    assert min(r["capacity_factor"] for r in rows3) < 0.5
