@@ -85,6 +85,70 @@ def load_bench_audio(pipe):
     return src, ref
 
 
+def build_headline(result):
+    """Compact headline dict from the full bench ``result`` record.
+
+    Printed as the FINAL stdout line: the driver captures only the tail of
+    stdout and parses the last line, so this must stay well under its
+    capture window (the full record goes to BENCH_DETAIL.json and the
+    earlier DETAIL line)."""
+    serving = result.get("serving")
+    serving_head = None
+    if serving is not None:
+        serving_head = {
+            "pool_per_stream_rtf": serving.get("pool_per_stream_rtf"),
+            "realtime_streams": serving.get("realtime_streams"),
+            "max_sustainable_lambda_ttfa500ms": serving.get(
+                "max_sustainable_lambda_ttfa500ms"),
+        }
+        rows = serving.get("poisson") or []
+        at_cap = [r for r in rows if r.get("capacity_factor") == 1.0]
+        if at_cap:
+            # 1.0x measured capacity = a critically-loaded queue by
+            # construction (rho=1), so this p95 diverges with run length;
+            # the SLO-relevant number is the one at max sustainable lambda
+            serving_head["ttfa_ms_p95_at_capacity"] = at_cap[0]["ttfa_ms_p95"]
+        max_lam = serving.get("max_sustainable_lambda_ttfa500ms")
+        if max_lam is not None:
+            at_max = [r for r in rows if abs(r["lambda"] - max_lam) < 1e-6]
+            if at_max:
+                serving_head["ttfa_ms_p95_at_max_lambda"] = \
+                    at_max[0]["ttfa_ms_p95"]
+    int8_section = result.get("int8")
+    int8_head = None
+    if int8_section is not None:
+        int8_head = {"rtf_median": int8_section.get("rtf_median")}
+        combo = int8_section.get("int8_fp8_batch_scaling") or {}
+        if "16" in combo:
+            int8_head["int8_fp8_b16_rtf_per_stream"] = \
+                combo["16"]["rtf_per_stream"]
+        srv_q = int8_section.get("int8_fp8_serving") or {}
+        if srv_q:
+            int8_head["int8_fp8_max_lambda_ttfa500ms"] = srv_q.get(
+                "max_sustainable_lambda_ttfa500ms")
+    b16 = (result.get("batch_scaling") or {}).get("16")
+    return {
+        "metric": "streaming_rtf",
+        "value": result["value"],
+        "unit": "ratio",
+        "vs_baseline": result["vs_baseline"],
+        "latency_ms_median": result["latency_ms_median"],
+        "latency_ms_p95": result["latency_ms_p95"],
+        "latency_ms_max": result["latency_ms_max"],
+        "rtf_p95": result["rtf_p95"],
+        "ar_tokens_per_sec": result["ar_tokens_per_sec"],
+        "b16_rtf_per_stream": b16["rtf_per_stream"] if b16 else None,
+        "max_realtime_streams": result.get("max_realtime_streams"),
+        "serving": serving_head,
+        "int8": int8_head,
+        "tunnel_rtt_ms": result.get("tunnel_rtt_ms"),
+        "warmup_s": result["warmup_s"],
+        "dtype": result["dtype"],
+        "device": result["device"],
+        "detail": "BENCH_DETAIL.json",
+    }
+
+
 def main():
     import jax
 
@@ -450,51 +514,7 @@ def main():
         print(f"detail sidecar write failed: {e}", file=sys.stderr)
     print("DETAIL " + json.dumps(result))
 
-    serving_head = None
-    if serving is not None:
-        serving_head = {
-            "pool_per_stream_rtf": serving.get("pool_per_stream_rtf"),
-            "realtime_streams": serving.get("realtime_streams"),
-            "max_sustainable_lambda_ttfa500ms": serving.get(
-                "max_sustainable_lambda_ttfa500ms"),
-        }
-        rows = serving.get("poisson") or []
-        at_cap = [r for r in rows if r.get("capacity_factor") == 1.0]
-        if at_cap:
-            serving_head["ttfa_ms_p95_at_capacity"] = at_cap[0]["ttfa_ms_p95"]
-    int8_head = None
-    if int8_section is not None:
-        int8_head = {"rtf_median": int8_section.get("rtf_median")}
-        combo = int8_section.get("int8_fp8_batch_scaling") or {}
-        if "16" in combo:
-            int8_head["int8_fp8_b16_rtf_per_stream"] = \
-                combo["16"]["rtf_per_stream"]
-        srv_q = int8_section.get("int8_fp8_serving") or {}
-        if srv_q:
-            int8_head["int8_fp8_max_lambda_ttfa500ms"] = srv_q.get(
-                "max_sustainable_lambda_ttfa500ms")
-    b16 = (batch_scaling or {}).get("16")
-    headline = {
-        "metric": "streaming_rtf",
-        "value": result["value"],
-        "unit": "ratio",
-        "vs_baseline": result["vs_baseline"],
-        "latency_ms_median": result["latency_ms_median"],
-        "latency_ms_p95": result["latency_ms_p95"],
-        "latency_ms_max": result["latency_ms_max"],
-        "rtf_p95": result["rtf_p95"],
-        "ar_tokens_per_sec": result["ar_tokens_per_sec"],
-        "b16_rtf_per_stream": b16["rtf_per_stream"] if b16 else None,
-        "max_realtime_streams": max_rt_streams,
-        "serving": serving_head,
-        "int8": int8_head,
-        "tunnel_rtt_ms": rtt_stats,
-        "warmup_s": result["warmup_s"],
-        "dtype": result["dtype"],
-        "device": result["device"],
-        "detail": "BENCH_DETAIL.json",
-    }
-    print(json.dumps(headline))
+    print(json.dumps(build_headline(result)))
 
 
 if __name__ == "__main__":
