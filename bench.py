@@ -255,8 +255,8 @@ def main():
     try:
         from genvc_tpu.serving.server import StreamServer
 
-        s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
-        s_streams = int(os.environ.get("BENCH_SERVE_STREAMS", "32"))
+        s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "24"))
+        s_streams = int(os.environ.get("BENCH_SERVE_STREAMS", "48"))
         # saturated drain = THROUGHPUT protocol: pure 8-token pool cadence
         # (first_window=8, comparable with rounds <= 4). The Poisson sweep
         # below keeps fast-first admission (first_window=4 default) — that
@@ -393,9 +393,9 @@ def main():
                     from bench_serving import poisson_sweep
                     from genvc_tpu.serving.server import StreamServer
 
-                    s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
+                    s_slots = int(os.environ.get("BENCH_SERVE_SLOTS", "24"))
                     s_streams = int(os.environ.get("BENCH_SERVE_STREAMS",
-                                                   "32"))
+                                                   "48"))
                     # throughput-protocol drain (first_window=8, r3/r4
                     # comparable) for the record...
                     server = StreamServer(pipe_c, slots=s_slots,
